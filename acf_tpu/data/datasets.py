@@ -1,0 +1,298 @@
+"""Dataset ingestion for implicit-feedback top-N recommendation.
+
+Re-implements the *semantics* of the reference's four loaders (reference
+Dataset.py:8-327 and utils.py:44-79) as dense numpy arrays instead of scipy dok
+matrices and python dict-of-lists — dok iteration is the reference's hidden hot
+loop (reference MF.py:44-52). Known reference bugs are fixed, not replicated
+(e.g. Dataset.py:69 ``df = df.sort_values(..., inplace=True)`` assigning None;
+the undefined ``negs`` list in sampled-negative mode, Dataset.py:100-104).
+
+Protocol (reference Dataset.py:59-109):
+  * user/item ids are recoded to 1..n; id 0 is the padding/mask id.
+  * leave-one-out split: per user, the chronologically last interaction is the
+    held-out test item; everything before it is train.
+  * ``hist`` keeps the full chronological train sequence (with duplicates) per
+    user, right-aligned and 0-padded — it serves sequence models, membership
+    tests for rejection sampling, and train-item masking during evaluation.
+  * optional 100 sampled test negatives per user with ``seed=2019``
+    (reference Dataset.py:88-105); statistical — RNG streams differ from
+    python's ``random``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+@dataclasses.dataclass
+class Interactions:
+    """Dense-array view of a leave-one-out implicit-feedback dataset.
+
+    Shapes use U = num_users (incl. pad row 0), I = num_items (incl. pad),
+    N = number of *unique* train (user, item) pairs, L = longest train
+    sequence.
+    """
+
+    num_users: int
+    num_items: int
+    # Unique (u, i) train pairs — the reference's dok-matrix keys
+    # (reference evaluation_adv.py:32-38).
+    pairs_u: np.ndarray  # [N] int32
+    pairs_i: np.ndarray  # [N] int32
+    # Right-aligned chronological train sequences, duplicates kept
+    # (reference Dataset.py:77-81 ``trainSeq``). hist[u, -hist_len[u]:] is
+    # user u's sequence; the rest is 0.
+    hist: np.ndarray  # [U, L] int32
+    hist_len: np.ndarray  # [U] int32
+    # Number of *distinct* train items per user (reference trainMatrix row
+    # nnz); used for the eval candidate-count (evaluation_adv.py:428-433).
+    uniq_count: np.ndarray  # [U] int32
+    # Held-out item per user; 0 where the user has no test interaction.
+    test_item: np.ndarray  # [U] int32
+    # Whether the held-out item also appears in the user's train set
+    # (affects the eval candidate count, evaluation_adv.py:429-430).
+    gt_in_train: np.ndarray  # [U] bool
+    # Sampled eval negatives (eval_mode="sample"), or None for full-rank.
+    test_negatives: Optional[np.ndarray] = None  # [U, 100] int32
+
+    @property
+    def num_pairs(self) -> int:
+        return int(self.pairs_u.shape[0])
+
+    @property
+    def max_hist_len(self) -> int:
+        return int(self.hist.shape[1])
+
+    def eval_users(self) -> np.ndarray:
+        """Users that have a held-out test item (reference evaluates
+        ``range(1, num_users)``, evaluation_adv.py:455)."""
+        return np.nonzero(self.test_item > 0)[0].astype(np.int32)
+
+    def num_eval_candidates(self) -> np.ndarray:
+        """Per-user size of the full-rank candidate set *excluding* the gt.
+
+        Mirrors evaluation_adv.py:425-437: candidates = all items − train
+        items − {0} − {gt}; the gt is then appended and ranked against the
+        rest, so AUC's denominator is this count.
+        """
+        n = self.num_items - 1 - self.uniq_count  # drop pad id 0 and train items
+        n = n - np.where(self.gt_in_train, 0, 1)  # gt removed iff not in train
+        return n.astype(np.int32)
+
+
+def interactions_from_frame(
+    df: pd.DataFrame,
+    reindex: bool = True,
+    num_negatives: int = 0,
+    seed: int = 2019,
+    max_hist_len: Optional[int] = None,
+) -> Interactions:
+    """Build :class:`Interactions` from a (uid, iid[, timestamp]) frame.
+
+    Mirrors reference Dataset.py:59-109: category-recode ids to 1..n, stable
+    sort by (uid, timestamp), last interaction per user held out.
+    """
+    df = df.copy()
+    if "timestamp" not in df.columns:
+        # 2-col datasets (Video/Beauty/Steam .txt) are already in
+        # chronological order per user (reference utils.py:62-72 relies on
+        # file order).
+        df["timestamp"] = np.arange(len(df), dtype=np.int64)
+    if reindex:
+        df["uid"] = df["uid"].astype("category").cat.codes.values + 1
+        df["iid"] = df["iid"].astype("category").cat.codes.values + 1
+    df = df.sort_values(["uid", "timestamp"], kind="stable")
+
+    num_users = int(df["uid"].max()) + 1
+    num_items = int(df["iid"].max()) + 1
+
+    uids = df["uid"].to_numpy(np.int32)
+    iids = df["iid"].to_numpy(np.int32)
+
+    # Leave-one-out: last row of each uid group is test.
+    last_of_user = np.r_[uids[1:] != uids[:-1], True]
+    test_u = uids[last_of_user]
+    test_i = iids[last_of_user]
+    train_u = uids[~last_of_user]
+    train_i = iids[~last_of_user]
+
+    test_item = np.zeros(num_users, dtype=np.int32)
+    test_item[test_u] = test_i
+
+    # Per-user chronological sequences, right-aligned.
+    hist_len = np.bincount(train_u, minlength=num_users).astype(np.int32)
+    L = int(hist_len.max()) if hist_len.size else 0
+    if max_hist_len is not None:
+        L = min(L, int(max_hist_len))
+    hist = np.zeros((num_users, max(L, 1)), dtype=np.int32)
+    # position of each train row within its user's sequence
+    seq_pos = np.arange(len(train_u)) - np.r_[0, np.cumsum(hist_len)[:-1]][train_u]
+    col = seq_pos + (hist.shape[1] - hist_len[train_u])  # right-align
+    keep = col >= 0  # truncate oldest items when max_hist_len caps L
+    hist[train_u[keep], col[keep]] = train_i[keep]
+    hist_len = np.minimum(hist_len, hist.shape[1])
+
+    # Unique (u, i) pairs — dok-matrix semantics.
+    pair_key = train_u.astype(np.int64) * num_items + train_i.astype(np.int64)
+    uniq_key = np.unique(pair_key)
+    pairs_u = (uniq_key // num_items).astype(np.int32)
+    pairs_i = (uniq_key % num_items).astype(np.int32)
+    uniq_count = np.bincount(pairs_u, minlength=num_users).astype(np.int32)
+
+    gt_key = test_u.astype(np.int64) * num_items + test_i.astype(np.int64)
+    gt_in_train = np.zeros(num_users, dtype=bool)
+    gt_in_train[test_u] = np.isin(gt_key, uniq_key)
+
+    test_negatives = None
+    if num_negatives > 0:
+        test_negatives = _sample_test_negatives(
+            num_users, num_items, pairs_u, pairs_i, test_item, train_i,
+            num_negatives, seed,
+        )
+
+    return Interactions(
+        num_users=num_users,
+        num_items=num_items,
+        pairs_u=pairs_u,
+        pairs_i=pairs_i,
+        hist=hist,
+        hist_len=hist_len,
+        uniq_count=uniq_count,
+        test_item=test_item,
+        gt_in_train=gt_in_train,
+        test_negatives=test_negatives,
+    )
+
+
+def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
+                           candidates, k, seed):
+    """Popularity-proportional sampled negatives (reference Dataset.py:88-105
+    draws from the train interaction list, so sampling is popularity-weighted),
+    rejecting train items and the gt."""
+    rng = np.random.default_rng(seed)
+    train_sets = [set() for _ in range(num_users)]
+    for u, i in zip(pairs_u, pairs_i):
+        train_sets[u].add(int(i))
+    negs = np.zeros((num_users, k), dtype=np.int32)
+    for u in range(1, num_users):
+        if test_item[u] == 0 and not train_sets[u]:
+            continue
+        forbidden = train_sets[u] | {int(test_item[u])}
+        out = []
+        for _ in range(64):  # capped rejection; fall through to exact pool
+            draw = candidates[rng.integers(0, len(candidates), size=4 * k)]
+            for r in draw:
+                if int(r) not in forbidden:
+                    out.append(int(r))
+                    if len(out) == k:
+                        break
+            if len(out) == k:
+                break
+        if len(out) < k:
+            # pathological user (train set covers the pool): sample from the
+            # exact allowed set, or leave zeros if it is empty.
+            allowed = np.array(sorted(set(candidates.tolist()) - forbidden))
+            if len(allowed):
+                out.extend(rng.choice(allowed, size=k - len(out)).tolist())
+            else:
+                out.extend([0] * (k - len(out)))
+        negs[u] = out
+    return negs
+
+
+# ---------------------------------------------------------------------------
+# File-format loaders (reference utils.py:44-79, Dataset.py HeDataset/
+# OriginalDataset)
+# ---------------------------------------------------------------------------
+
+def _load_two_col(path: str) -> pd.DataFrame:
+    """`uid iid` space-separated, chronological per user (Video/Beauty/Steam
+    .txt; reference utils.py:62-72)."""
+    return pd.read_csv(path, sep=" ", names=["uid", "iid"])
+
+
+def _load_rating_tsv(path: str) -> pd.DataFrame:
+    """`uid\\tiid\\trating\\ttimestamp` (reference utils.py:54-60)."""
+    return pd.read_csv(path, sep="\t", names=["uid", "iid", "rating", "timestamp"])
+
+
+def _load_checkin_tsv(path: str) -> pd.DataFrame:
+    """7-column check-in TSV (brightkite/fsq11/yelp; reference utils.py:46-52)."""
+    cols = ["uid", "iid", "rating", "hour", "day", "month", "timestamp"]
+    return pd.read_csv(path, sep="\t", names=cols)
+
+
+def load_dataset(
+    name: str,
+    data_dir: str,
+    eval_mode: str = "all",
+    num_negatives: int = 100,
+    max_hist_len: Optional[int] = None,
+    nrows: Optional[int] = None,
+) -> Interactions:
+    """Name → :class:`Interactions`, mirroring reference utils.py:44-79.
+
+    ``eval_mode="all"`` ranks the held-out item against every unseen item;
+    ``"sample"`` against ``num_negatives`` sampled ones.
+    """
+    name_l = name.lower()
+    want_negs = num_negatives if eval_mode == "sample" else 0
+
+    def _from_df(df):
+        return interactions_from_frame(
+            df, num_negatives=want_negs, max_hist_len=max_hist_len)
+
+    if name_l in ("video", "beauty", "steam", "ml-sas"):
+        fname = {"video": "Video.txt", "beauty": "Beauty.txt",
+                 "steam": "Steam.txt", "ml-sas": "ml-1m.txt"}[name_l]
+        df = _load_two_col(os.path.join(data_dir, fname))
+        if nrows:
+            df = df.iloc[:nrows]
+        return _from_df(df)
+
+    if name_l in ("ml-1m", "yelp-he"):
+        base = "yelp" if name_l == "yelp-he" else name_l
+        train = _load_rating_tsv(os.path.join(data_dir, f"{base}.train.rating"))
+        test = _load_rating_tsv(os.path.join(data_dir, f"{base}.test.rating"))
+        return _from_df(pd.concat([train, test], ignore_index=True))
+
+    if name_l in ("brightkite", "fsq11", "yelp"):
+        train = _load_checkin_tsv(os.path.join(data_dir, f"{name}Train"))
+        test = _load_checkin_tsv(os.path.join(data_dir, f"{name}Test"))
+        df = pd.concat([train, test], ignore_index=True)
+        return _from_df(df[["uid", "iid", "timestamp"]])
+
+    if name_l == "test":
+        cols = ["uid", "timestamp", "lat", "lng", "iid"]
+        df = pd.read_csv(os.path.join(data_dir, "brightkite.txt"), sep="\t",
+                         names=cols, nrows=nrows or 10000)
+        return _from_df(df[["uid", "iid", "timestamp"]])
+
+    # `<name>.train.rating` / `<name>.test.rating` pairs with pre-assigned ids
+    # (reference OriginalDataset, Dataset.py:226-327). Ids are used as-is.
+    train_p = os.path.join(data_dir, f"{name}.train.rating")
+    test_p = os.path.join(data_dir, f"{name}.test.rating")
+    if os.path.exists(train_p) and os.path.exists(test_p):
+        train = _load_rating_tsv(train_p)
+        test = _load_rating_tsv(test_p)
+        df = pd.concat([train, test], ignore_index=True)
+        # OriginalDataset keeps raw ids (0-based uids are shifted by +1 so id
+        # 0 stays the pad id).
+        df["uid"] = df["uid"].astype(np.int64) + 1
+        df["iid"] = df["iid"].astype(np.int64) + 1
+        # The test row must rank last per user: give test rows +inf timestamps.
+        df["timestamp"] = df["timestamp"].astype(np.int64)
+        n_train = len(train)
+        order_fix = np.zeros(len(df), dtype=np.int64)
+        order_fix[n_train:] = np.iinfo(np.int64).max // 2
+        df["timestamp"] = order_fix + np.arange(len(df))
+        return interactions_from_frame(
+            df, reindex=False, num_negatives=want_negs,
+            max_hist_len=max_hist_len)
+
+    raise ValueError(f"Unknown dataset {name!r} (looked in {data_dir})")

@@ -1,0 +1,148 @@
+"""On-device leave-one-out evaluators.
+
+The reference evaluates one user at a time from python: a ``sess.run`` per
+user over that user's candidate array, then a python metric loop
+(reference evaluation_adv.py:440-486, utils.py:331-358). Here the whole
+evaluation is a handful of jitted calls: users are tiled into fixed-size
+batches, each batch scores the *full catalog* with one matmul, train items
+are masked by scatter, and the rank position of the held-out item is a
+masked comparison-sum. Metrics are closed-form from the position
+(:mod:`acf_tpu.eval.metrics`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acf_tpu.data.datasets import Interactions
+from acf_tpu.eval.metrics import metrics_from_position
+
+
+@dataclasses.dataclass
+class EvalResult:
+    hr: np.ndarray    # [U, K] per-user HR@1..K
+    ndcg: np.ndarray  # [U, K]
+    auc: np.ndarray   # [U]
+
+    def at_k(self, k: int = 10):
+        return (float(self.hr[:, k - 1].mean()),
+                float(self.ndcg[:, k - 1].mean()),
+                float(self.auc.mean()))
+
+    def summary(self, k: int = 10):
+        hr, ndcg, auc = self.at_k(k)
+        return {"hr": hr, "ndcg": ndcg, "auc": auc}
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _positions_full(score_fn, params, users, hists, gt):
+    """Rank position of ``gt`` against all unseen items for one user tile.
+
+    Candidate rule = reference evaluation_adv.py:425-437: every item except
+    the pad id 0, the user's train items, and the gt itself; ties count
+    against the gt (``>=``, evaluation_adv.py:473).
+    """
+    scores = score_fn(params, users, hists)  # [B, I] float32
+    b = scores.shape[0]
+    rows = jnp.arange(b)
+    gt_score = scores[rows, gt]  # [B]
+
+    valid = jnp.ones_like(scores, dtype=bool)
+    valid = valid.at[:, 0].set(False)
+    # hist padding is 0 → scatters harmlessly into the already-masked col 0.
+    valid = valid.at[rows[:, None], hists].set(False)
+    valid = valid.at[rows, gt].set(False)
+
+    ge = (scores >= gt_score[:, None]) & valid
+    return ge.sum(axis=1).astype(jnp.int32)  # [B]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _positions_sampled(score_some_fn, params, users, hists, gt, negs):
+    """Rank position of ``gt`` among sampled negatives
+    (reference evaluation.py:114-135 rank-position rule)."""
+    b = negs.shape[0]
+    items = jnp.concatenate([negs, gt[:, None]], axis=1)  # [B, K+1]
+    scores = score_some_fn(params, users, hists, items)  # [B, K+1]
+    gt_score = scores[:, -1]
+    return (scores[:, :-1] >= gt_score[:, None]).sum(axis=1).astype(jnp.int32)
+
+
+class FullRankEvaluator:
+    """Batched full-catalog (or sampled) leave-one-out evaluator.
+
+    Args:
+      data: the dataset.
+      batch_users: user-tile size; memory per tile is ``batch_users *
+        num_items * 4`` bytes for the score matrix.
+      K: metric cutoff sweep (reference reports K = 1..100,
+        evaluation_adv.py:477).
+    """
+
+    def __init__(self, data: Interactions, batch_users: int = 512, K: int = 100,
+                 eval_hist_len: Optional[int] = None):
+        self.K = K
+        self.data = data
+        users = data.eval_users()
+        self.users = users
+        n = len(users)
+        self.batch_users = min(batch_users, max(n, 1))
+        # pad to a multiple of the tile size; padded rows are dropped after.
+        pad = (-n) % self.batch_users
+        self._pad = pad
+        users_p = np.concatenate([users, np.zeros(pad, dtype=np.int32)])
+        hl = eval_hist_len or data.max_hist_len
+        hists = data.hist[users_p][:, -hl:] if hl else data.hist[users_p]
+        self._users_d = jnp.asarray(users_p)
+        self._hists_d = jnp.asarray(hists)
+        self._gt_d = jnp.asarray(data.test_item[users_p])
+        self._negs_d = (jnp.asarray(data.test_negatives[users_p])
+                        if data.test_negatives is not None else None)
+        self._num_neg = data.num_eval_candidates()[users]
+
+    def _tiles(self):
+        n = self._users_d.shape[0]
+        for s in range(0, n, self.batch_users):
+            e = s + self.batch_users
+            yield self._users_d[s:e], self._hists_d[s:e], self._gt_d[s:e], s, e
+
+    def positions(self, score_fn: Callable, params) -> np.ndarray:
+        """Rank positions for every eval user (full-catalog mode).
+
+        ``score_fn(params, users[B], hists[B, L]) -> [B, num_items]``.
+        """
+        out = []
+        for users, hists, gt, _, _ in self._tiles():
+            out.append(np.asarray(_positions_full(score_fn, params, users, hists, gt)))
+        pos = np.concatenate(out)
+        return pos[: len(self.users)]
+
+    def positions_sampled(self, score_some_fn: Callable, params) -> np.ndarray:
+        """Rank positions against the sampled negatives.
+
+        ``score_some_fn(params, users[B], hists[B, L], items[B, M]) -> [B, M]``.
+        """
+        assert self._negs_d is not None, "dataset has no sampled negatives"
+        out = []
+        for users, hists, gt, s, e in self._tiles():
+            out.append(np.asarray(_positions_sampled(
+                score_some_fn, params, users, hists, gt, self._negs_d[s:e])))
+        pos = np.concatenate(out)
+        return pos[: len(self.users)]
+
+    def evaluate(self, score_fn: Callable, params, sampled: bool = False) -> EvalResult:
+        if sampled:
+            pos = self.positions_sampled(score_fn, params)
+            num_neg = np.full(len(self.users), self.data.test_negatives.shape[1])
+        else:
+            pos = self.positions(score_fn, params)
+            num_neg = self._num_neg
+        hr, ndcg, auc = metrics_from_position(pos, num_neg, self.K)
+        return EvalResult(hr=np.asarray(hr), ndcg=np.asarray(ndcg),
+                          auc=np.asarray(auc))

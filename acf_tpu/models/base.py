@@ -1,0 +1,75 @@
+"""Model protocol for the TPU-native CF zoo.
+
+The reference's ``Recommender`` ABC (reference Recommender.py:3-27) couples
+models to stateful sessions (``train(x, y, bs)`` mutates, ``rank`` runs a
+per-user ``sess.run``). Here models are *pure*: a model object holds only
+hyperparameters and exposes
+
+  * ``init_params(key) -> params``       (a pytree of jnp arrays)
+  * ``loss(params, batch, key) -> (scalar, aux)``   differentiable
+  * ``score_all(params, users, hists) -> [B, num_items]``
+  * ``score_some(params, users, hists, items) -> [B, M]``
+
+Training state (optimizer slots etc.) lives in :mod:`acf_tpu.train`; device
+placement and sharding are orthogonal (:mod:`acf_tpu.parallel`).
+
+Two batch families exist, mirroring the reference's two data paths:
+
+  * pairwise:  batch = (users [B], pos_items [B], neg_items [B])
+    (reference evaluation_adv.py:50-93)
+  * sequence:  batch = (users [B], seq [B, T], pos [B, T], neg [B, T])
+    (reference SASRecLayers.py:329-358)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+def row_normalize(x, eps: float = 1e-12):
+    """Row-wise L2 normalization, ``tf.nn.l2_normalize(x, 1)`` semantics
+    (zero rows stay zero)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def bpr_pair_loss(pos_scores, neg_scores):
+    """The reference's numerically-stable BPR objective
+    (evaluation_adv.py:160-162): ``sum(softplus(-(clip(pos - neg))))``."""
+    diff = jnp.clip(pos_scores - neg_scores, -80.0, 1e8)
+    return jnp.sum(jnp.logaddexp(0.0, -diff))
+
+
+@dataclasses.dataclass(eq=False)
+class PairwiseModel:
+    """Base for models trained on (user, pos, neg) triples."""
+
+    num_users: int
+    num_items: int
+    dim: int
+
+    batch_kind = "pair"
+
+    def init_params(self, key):
+        raise NotImplementedError
+
+    def loss(self, params, batch, key):
+        raise NotImplementedError
+
+    def score_some(self, params, users, hists, items):
+        """Default: gather columns of the full-catalog scores."""
+        scores = self.score_all(params, users, hists)
+        return jnp.take_along_axis(scores, items, axis=1)
+
+    def score_all(self, params, users, hists):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(eq=False)
+class SequenceModel(PairwiseModel):
+    """Base for next-item models trained on windowed sequences."""
+
+    maxlen: int = 50
+    batch_kind = "seq"

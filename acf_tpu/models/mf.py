@@ -1,0 +1,170 @@
+"""Matrix-factorization models: MF-BPR and its APR adversarial variant, plus
+pointwise MF.
+
+``MFBPR`` re-implements the reference's canonical APR machinery — the raw-TF
+``MF`` graph class (reference evaluation_adv.py:97-214 / APR.py:85-203) — as a
+pure JAX model. The adversarial (APR) path fuses the reference's two
+``sess.run`` round-trips per step (``update_P/update_Q`` then ``optimizer``,
+evaluation_adv.py:345-347) into ONE jitted loss: the FGSM delta is a second
+gradient under ``stop_gradient``, so XLA compiles clean-loss + delta +
+adversarial-loss + backward into a single fused step.
+
+``PointwiseMF`` is the Keras ``MatrixFactorization`` (reference MF.py:7-59):
+dot-product scores with a sigmoid binary cross-entropy over 1 sampled
+negative per positive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from acf_tpu.models.base import PairwiseModel, bpr_pair_loss, row_normalize
+
+
+def _trunc_normal(key, shape, std=0.01):
+    """tf.truncated_normal semantics: normal(0, std) truncated at 2 std."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+@dataclasses.dataclass(eq=False)
+class MFBPR(PairwiseModel):
+    """MF with BPR loss; APR (FGSM on embedding rows) when ``adversarial``.
+
+    Hyperparameter defaults follow the reference CLI (run_adv.py:15-54):
+    Adagrad(lr=0.05), reg=0, eps=0.5, reg_adv=1.
+    """
+
+    reg: float = 0.0
+    adversarial: bool = False
+    eps: float = 0.5
+    reg_adv: float = 1.0
+    adv_mode: str = "grad"  # "grad" (FGSM) or "random" (evaluation_adv.py:182-189)
+    init_std: float = 0.01
+
+    def init_params(self, key):
+        kp, kq = jax.random.split(key)
+        return {
+            "P": _trunc_normal(kp, (self.num_users, self.dim), self.init_std),
+            "Q": _trunc_normal(kq, (self.num_items, self.dim), self.init_std),
+        }
+
+    # -- scoring ------------------------------------------------------------
+    def _pair_scores(self, params, users, items, dP=None, dQ=None):
+        p = params["P"][users]
+        q = params["Q"][items]
+        if dP is not None:
+            p = p + dP[users]
+            q = q + dQ[items]
+        return jnp.sum(p * q, axis=-1), p, q
+
+    def score_all(self, params, users, hists):
+        return params["P"][users] @ params["Q"].T
+
+    def score_some(self, params, users, hists, items):
+        p = params["P"][users]  # [B, d]
+        q = params["Q"][items]  # [B, M, d]
+        return jnp.einsum("bd,bmd->bm", p, q)
+
+    # -- training loss ------------------------------------------------------
+    def _clean_loss(self, params, users, pos, neg):
+        pos_s, p, qp = self._pair_scores(params, users, pos)
+        neg_s, _, qn = self._pair_scores(params, users, neg)
+        loss = bpr_pair_loss(pos_s, neg_s)
+        reg_term = jnp.mean(jnp.square(p) + jnp.square(qp) + jnp.square(qn))
+        acc = jnp.mean((pos_s - neg_s) > 0)
+        return loss, reg_term, acc
+
+    def fgsm_deltas(self, params, users, pos, neg, key=None):
+        """ε-scaled row-normalized gradient of the *clean* BPR loss wrt the
+        full embedding tables (evaluation_adv.py:192-203). Rows outside the
+        batch have zero gradient and therefore zero delta."""
+        if self.adv_mode == "random":
+            kp, kq = jax.random.split(key)
+            gP = _trunc_normal(kp, params["P"].shape, 0.01)
+            gQ = _trunc_normal(kq, params["Q"].shape, 0.01)
+        else:
+            def clean(prm):
+                pos_s, _, _ = self._pair_scores(prm, users, pos)
+                neg_s, _, _ = self._pair_scores(prm, users, neg)
+                return bpr_pair_loss(pos_s, neg_s)
+
+            g = jax.grad(clean)(params)
+            gP, gQ = g["P"], g["Q"]
+        dP = self.eps * row_normalize(jax.lax.stop_gradient(gP))
+        dQ = self.eps * row_normalize(jax.lax.stop_gradient(gQ))
+        return dP, dQ
+
+    def adv_encoders(self):
+        """Embedding towers for the popularity-discriminator machinery
+        (AdversarialBPR discriminates on the user and pos-item embeddings,
+        reference BPR.py:112-123)."""
+        d = self.dim
+        return {
+            "u": ("user", lambda p, ids: p["P"][ids], d),
+            "i": ("item", lambda p, ids: p["Q"][ids], d),
+        }
+
+    def loss(self, params, batch, key):
+        users, pos, neg = batch
+        loss, reg_term, acc = self._clean_loss(params, users, pos, neg)
+        opt_loss = loss + self.reg * reg_term
+        aux = {"loss": loss, "acc": acc}
+        if self.adversarial:
+            dP, dQ = self.fgsm_deltas(params, users, pos, neg, key)
+            pos_a, _, _ = self._pair_scores(params, users, pos, dP, dQ)
+            neg_a, _, _ = self._pair_scores(params, users, neg, dP, dQ)
+            loss_adv = bpr_pair_loss(pos_a, neg_a)
+            # The reference adds the clean-embedding reg term a second time
+            # (evaluation_adv.py:175-177 reuses the clean lookups).
+            opt_loss = opt_loss + self.reg_adv * loss_adv + self.reg * reg_term
+            aux["loss_adv"] = loss_adv
+        return opt_loss, aux
+
+
+@dataclasses.dataclass(eq=False)
+class PointwiseMF(PairwiseModel):
+    """Keras-style pointwise MF (reference MF.py:7-59): sigmoid(u·i) with
+    binary cross-entropy; the trainer feeds (user, pos, neg) and the loss
+    treats pos as label-1 and neg as label-0 (MF.py:42-56 emits exactly one
+    sampled negative per positive)."""
+
+    init_scale: float = 0.05  # keras Embedding default: uniform(-0.05, 0.05)
+
+    def init_params(self, key):
+        kp, kq = jax.random.split(key)
+        return {
+            "P": jax.random.uniform(kp, (self.num_users, self.dim),
+                                    jnp.float32, -self.init_scale, self.init_scale),
+            "Q": jax.random.uniform(kq, (self.num_items, self.dim),
+                                    jnp.float32, -self.init_scale, self.init_scale),
+        }
+
+    def score_all(self, params, users, hists):
+        return params["P"][users] @ params["Q"].T
+
+    def score_some(self, params, users, hists, items):
+        return jnp.einsum("bd,bmd->bm", params["P"][users], params["Q"][items])
+
+    def adv_encoders(self):
+        """AMF discriminates on the raw user/item tables
+        (reference MF.py:80-98)."""
+        d = self.dim
+        return {
+            "u": ("user", lambda p, ids: p["P"][ids], d),
+            "i": ("item", lambda p, ids: p["Q"][ids], d),
+        }
+
+    def loss(self, params, batch, key):
+        users, pos, neg = batch
+        pos_s = jnp.sum(params["P"][users] * params["Q"][pos], -1)
+        neg_s = jnp.sum(params["P"][users] * params["Q"][neg], -1)
+        # mean BCE over the 2B pointwise examples
+        logits = jnp.concatenate([pos_s, neg_s])
+        labels = jnp.concatenate([jnp.ones_like(pos_s), jnp.zeros_like(neg_s)])
+        bce = jnp.logaddexp(0.0, logits) - labels * logits
+        loss = jnp.mean(bce)
+        acc = jnp.mean((pos_s - neg_s) > 0)
+        return loss, {"loss": loss, "acc": acc}

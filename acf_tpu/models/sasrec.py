@@ -1,0 +1,234 @@
+"""SASRec and its adversarial variants (ASASRec / ASASRec2), TPU-native.
+
+Re-implements the reference's 2-block causal self-attention next-item model
+(reference SASRec.py:32-481, layer semantics SASRecLayers.py:15-319) as one
+pure-functional encoder. The reference keeps five copies of this model; this
+is the single shared one.
+
+Adversarial modes (reference SASRec.py:213-234, 368-414):
+  * ``asasrec``  — FGSM delta on the item-embedding table only; the
+    adversarial logits perturb the *target* item embeddings against the
+    clean sequence representation (SASRec.py:356-363).
+  * ``asasrec2`` — deltas additionally on the positional table, the Q/K/V
+    dense kernels+biases and the FF conv kernels+biases; the whole encoder
+    is re-run with perturbed weights (SASRec.py:269-354).
+
+Deltas are ε-scaled row-normalized gradients of the *no-dropout* clean loss
+(the reference computes ``update_emb`` with ``is_training=False``,
+SASRec.py:453-454) under ``stop_gradient`` — one fused jitted step instead of
+the reference's 1 + num_deltas ``sess.run`` round-trips per minibatch
+(SASRec.py:452-465).
+
+Intentional fixes of reference bugs (SURVEY.md §7.3): the pad-embedding row
+is actually zero (the reference's ``zero_pad`` branch overwrites the zeroed
+table, SASRecLayers.py:120-125); key/query masks come from the token ids
+rather than post-LayerNorm activations (SASRecLayers.py:204-227).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from acf_tpu.models.base import SequenceModel
+from acf_tpu.nn.layers import (
+    dense, dropout, glorot_uniform, init_dense, init_layer_norm, layer_norm,
+    trunc_normal,
+)
+
+_NEG_INF = -(2.0 ** 32) + 1  # the reference's mask value (SASRecLayers.py:208)
+
+
+def _tf_l2_normalize(x, eps: float = 1e-12):
+    """tf.nn.l2_normalize semantics: axis=1 for matrices (rows), all axes for
+    vectors (reference SASRec.py:371, 382-386)."""
+    if x.ndim >= 2:
+        axis = 1
+    else:
+        axis = None
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
+@dataclasses.dataclass(eq=False)
+class SASRec(SequenceModel):
+    """Self-attentive sequential recommendation.
+
+    Defaults follow the reference (SASRec.py:33-36, run_adv_ori.py):
+    hidden = dim, 2 blocks, 1 head, dropout 0.5, Adam(lr=1e-3, beta2=0.98).
+    """
+
+    num_blocks: int = 2
+    num_heads: int = 1
+    dropout_rate: float = 0.5
+    l2_emb: float = 0.0
+    # adversarial config
+    adversarial: bool = False
+    adv_mode: str = "asasrec"  # or "asasrec2"
+    eps: float = 0.5
+    reg_adv: float = 1.0
+    eps_pos: float = 0.0    # run_adv_ori.py --eps_pos (asasrec2)
+    eps_dense: float = 0.0  # run_adv_ori.py --eps_dense
+    eps_conv: float = 0.0   # run_adv_ori.py --eps_conv
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        d = self.dim
+        keys = jax.random.split(key, 3 + 6 * self.num_blocks)
+        ki = iter(range(len(keys)))
+        # The reference's *effective* item-table init is truncnormal(0.01)
+        # (SASRecLayers.py:123-125); pad row zeroed here (intent).
+        item = trunc_normal(keys[next(ki)], (self.num_items, d), 0.01)
+        item = item.at[0].set(0.0)
+        params = {
+            "item_emb": item,
+            "pos_emb": glorot_uniform(keys[next(ki)], (self.maxlen, d)),
+            "blocks": [],
+            "ln_f": init_layer_norm(d),
+        }
+        for _ in range(self.num_blocks):
+            blk = {
+                "ln1": init_layer_norm(d),
+                "wq": init_dense(keys[next(ki)], d, d),
+                "wk": init_dense(keys[next(ki)], d, d),
+                "wv": init_dense(keys[next(ki)], d, d),
+                "ln2": init_layer_norm(d),
+                "conv1": init_dense(keys[next(ki)], d, d),
+                "conv2": init_dense(keys[next(ki)], d, d),
+                "ln3": init_layer_norm(d),
+            }
+            params["blocks"].append(blk)
+        return params
+
+    # ------------------------------------------------------------------
+    def _attention(self, blk, q_in, ids_mask, key, train):
+        """One causal MHA with key/query masking
+        (SASRecLayers.py:171-248)."""
+        b, t, d = q_in.shape
+        h = self.num_heads
+        dh = d // h
+        q = dense(blk["wq"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = dense(blk["wk"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = dense(blk["wv"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        key_mask = ids_mask[:, None, None, :]  # [B,1,1,T]
+        scores = jnp.where(causal[None, None] & key_mask, scores, _NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = probs * ids_mask[:, None, :, None]  # query masking
+        probs = dropout(key, probs, self.dropout_rate, train)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return out + q_in  # residual onto the normalized input
+
+    def encode(self, params, seq, train: bool = False, key=None):
+        """[B, T] item ids → [B, T, d] sequence representations."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        d = self.dim
+        t = seq.shape[1]
+        ids_mask = seq != 0  # [B, T]
+        maskf = ids_mask[:, :, None].astype(jnp.float32)
+        x = params["item_emb"][seq] * math.sqrt(d)  # √d scale (SASRecLayers.py:129-130)
+        x = x + params["pos_emb"][None, -t:, :]
+        keys = jax.random.split(key, 1 + 3 * self.num_blocks)
+        x = dropout(keys[0], x, self.dropout_rate, train)
+        x = x * maskf
+        for i, blk in enumerate(params["blocks"]):
+            q_in = layer_norm(blk["ln1"], x)
+            x = self._attention(blk, q_in, ids_mask, keys[1 + 3 * i], train)
+            x2 = layer_norm(blk["ln2"], x)
+            f = jax.nn.relu(dense(blk["conv1"], x2))
+            f = dropout(keys[2 + 3 * i], f, self.dropout_rate, train)
+            f = dense(blk["conv2"], f)
+            f = dropout(keys[3 + 3 * i], f, self.dropout_rate, train)
+            f = f + x2  # residual (SASRecLayers.py:314)
+            x = layer_norm(blk["ln3"], f)
+            x = x * maskf
+        x = layer_norm(params["ln_f"], x)
+        return x
+
+    # ------------------------------------------------------------------
+    def _pointwise_loss(self, reprs, item_emb, pos, neg):
+        """Per-position sigmoid CE over (pos, neg) targets
+        (SASRec.py:183-191), in stable softplus form."""
+        pos_e = item_emb[pos]  # [B, T, d] (unscaled, as in SASRec.py:172)
+        neg_e = item_emb[neg]
+        pos_logit = jnp.sum(pos_e * reprs, -1)
+        neg_logit = jnp.sum(neg_e * reprs, -1)
+        ist = (pos != 0).astype(jnp.float32)
+        n = jnp.maximum(ist.sum(), 1.0)
+        loss = (jnp.sum(jnp.logaddexp(0.0, -pos_logit) * ist)
+                + jnp.sum(jnp.logaddexp(0.0, neg_logit) * ist)) / n
+        auc = jnp.sum(((jnp.sign(pos_logit - neg_logit) + 1) / 2) * ist) / n
+        return loss, auc
+
+    def _clean_loss_fn(self, params, seq, pos, neg):
+        """No-dropout clean loss — the FGSM linearization point
+        (SASRec.py:453-454 runs the delta update with is_training=False)."""
+        reprs = self.encode(params, seq, train=False)
+        loss, _ = self._pointwise_loss(reprs, params["item_emb"], pos, neg)
+        return loss
+
+    def _delta_tree(self, params, seq, pos, neg):
+        """FGSM deltas as a zero-filled copy of ``params`` with perturbed
+        leaves set (SASRec.py:368-404)."""
+        g = jax.grad(self._clean_loss_fn)(params, seq, pos, neg)
+        g = jax.lax.stop_gradient(g)
+        delta = jax.tree.map(jnp.zeros_like, params)
+        delta["item_emb"] = self.eps * _tf_l2_normalize(g["item_emb"])
+        if self.adv_mode == "asasrec2":
+            if self.eps_pos:
+                delta["pos_emb"] = self.eps_pos * _tf_l2_normalize(g["pos_emb"])
+            for bi in range(self.num_blocks):
+                if self.eps_dense:
+                    for name in ("wq", "wk", "wv"):
+                        delta["blocks"][bi][name] = {
+                            "w": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["w"]),
+                            "b": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["b"]),
+                        }
+                if self.eps_conv:
+                    for name in ("conv1", "conv2"):
+                        delta["blocks"][bi][name] = {
+                            "w": self.eps_conv * _tf_l2_normalize(g["blocks"][bi][name]["w"]),
+                            "b": self.eps_conv * _tf_l2_normalize(g["blocks"][bi][name]["b"]),
+                        }
+        return delta
+
+    def loss(self, params, batch, key):
+        users, seq, pos, neg = batch
+        k_enc, k_adv = jax.random.split(key)
+        reprs = self.encode(params, seq, train=True, key=k_enc)
+        loss, auc = self._pointwise_loss(reprs, params["item_emb"], pos, neg)
+        if self.l2_emb:
+            loss = loss + self.l2_emb * jnp.sum(jnp.square(params["item_emb"]))
+        aux = {"loss": loss, "acc": auc}
+        if self.adversarial:
+            delta = self._delta_tree(params, seq, pos, neg)
+            emb_plus = params["item_emb"] + delta["item_emb"]
+            if self.adv_mode == "asasrec2":
+                adv_params = jax.tree.map(jnp.add, params, delta)
+                adv_reprs = self.encode(adv_params, seq, train=True, key=k_adv)
+            else:
+                adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
+            adv_loss, _ = self._pointwise_loss(adv_reprs, emb_plus, pos, neg)
+            loss = loss + self.reg_adv * adv_loss
+            aux["loss_adv"] = adv_loss
+        return loss, aux
+
+    # ------------------------------------------------------------------
+    def score_all(self, params, users, hists):
+        """Full-catalog scores from each user's last-position representation
+        (reference test_logits, SASRec.py:176-181)."""
+        seq = hists[:, -self.maxlen:]
+        reprs = self.encode(params, seq, train=False)[:, -1, :]  # [B, d]
+        return reprs @ params["item_emb"].T
+
+    def score_some(self, params, users, hists, items):
+        seq = hists[:, -self.maxlen:]
+        reprs = self.encode(params, seq, train=False)[:, -1, :]
+        return jnp.einsum("bd,bmd->bm", reprs, params["item_emb"][items])

@@ -1,0 +1,276 @@
+"""The unified trainer.
+
+Collapses the reference's three ~90%-duplicate driver stacks
+(run.py:231-276, evaluation_adv.py:218-306, utils.py:281-448) into one:
+
+  * a fully device-resident epoch — negative sampling, loss, FGSM delta and
+    optimizer update inside ONE ``lax.scan`` under ``jit`` (the reference
+    pays a ``Pool.map`` fork plus two ``sess.run`` feed_dict crossings per
+    minibatch, evaluation_adv.py:264-276 / 345-347);
+  * leave-one-out evaluation through :class:`acf_tpu.eval.FullRankEvaluator`;
+  * best-NDCG tracking, per-user .hr/.ndcg dumps, NaN abort, periodic
+    checkpoints, and the two-phase pretrain→adversarial APR staging
+    (reference run_adv.py:97-120) — here a warm param handoff instead of a
+    graph rebuild + Saver restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from acf_tpu.data.datasets import Interactions
+from acf_tpu.eval.full_rank import FullRankEvaluator
+from acf_tpu.sampling.negatives import (
+    sample_pair_epoch, sample_seq_batch, uniform_negatives,
+)
+from acf_tpu.train.checkpoint import save_params
+from acf_tpu.utils.io import OutputWriter
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 512
+    epochs: int = 100
+    verbose: int = 1          # evaluate every N epochs (reference --verbose)
+    topk: int = 10
+    ckpt_every: int = 0       # save params every N epochs; 0 = off
+    ckpt_path: Optional[str] = None
+    seed: int = 2019
+    eval_batch_users: int = 512
+    membership_len: Optional[int] = None  # cap on hist cols used for rejection
+
+
+def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
+    """Build the jitted one-epoch function for pairwise models.
+
+    ``data`` is a dict of device arrays: pairs_u [N], pairs_i [N],
+    hist [U, L]. The whole epoch (shuffle → sample negatives → grad step ×
+    num_batches) is a single XLA computation.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(carry, data, key):
+        params, opt_state = carry
+        k_perm, k_steps = jax.random.split(key)
+        n = data["pairs_u"].shape[0]
+        batches = sample_pair_epoch(k_perm, n, batch_size, num_batches)
+        step_keys = jax.random.split(k_steps, num_batches)
+
+        def step(c, xs):
+            prm, opt = c
+            idx, kk = xs
+            kn, kl = jax.random.split(kk)
+            u = data["pairs_u"][idx]
+            pos = data["pairs_i"][idx]
+            neg = uniform_negatives(kn, data["hist"][u], model.num_items)
+            (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                prm, (u, pos, neg), kl)
+            updates, opt = optimizer.update(grads, opt, prm)
+            prm = optax.apply_updates(prm, updates)
+            return (prm, opt), aux
+
+        (params, opt_state), auxes = jax.lax.scan(
+            step, (params, opt_state), (batches, step_keys))
+        stats = jax.tree.map(jnp.mean, auxes)
+        return (params, opt_state), stats
+
+    return epoch_fn
+
+
+def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
+    """Jitted one-epoch function for sequence models (WarpSampler semantics:
+    users sampled with replacement, SASRecLayers.py:329-358)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(carry, data, key):
+        params, opt_state = carry
+        step_keys = jax.random.split(key, num_batches)
+
+        def step(c, kk):
+            prm, opt = c
+            ks, kl = jax.random.split(kk)
+            users, seq, pos, neg = sample_seq_batch(
+                ks, data["hist"], data["hist_len"], data["eligible"],
+                model.maxlen, model.num_items, batch_size)
+            (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                prm, (users, seq, pos, neg), kl)
+            updates, opt = optimizer.update(grads, opt, prm)
+            prm = optax.apply_updates(prm, updates)
+            return (prm, opt), aux
+
+        (params, opt_state), auxes = jax.lax.scan(
+            step, (params, opt_state), step_keys)
+        stats = jax.tree.map(jnp.mean, auxes)
+        return (params, opt_state), stats
+
+    return epoch_fn
+
+
+class Trainer:
+    """Epoch-driven trainer with reference-protocol evaluation and logging."""
+
+    def __init__(self, model, data: Interactions, optimizer,
+                 config: TrainConfig = TrainConfig(),
+                 writer: Optional[OutputWriter] = None,
+                 custom_epoch: Optional[Callable] = None):
+        self.model = model
+        self.data = data
+        self.optimizer = optimizer
+        self.cfg = config
+        self.writer = writer or OutputWriter(None, None)
+
+        ml = config.membership_len
+        hist = data.hist if ml is None else data.hist[:, -ml:]
+        self.dev = {
+            "pairs_u": jnp.asarray(data.pairs_u),
+            "pairs_i": jnp.asarray(data.pairs_i),
+            "hist": jnp.asarray(hist),
+            "hist_len": jnp.asarray(np.minimum(data.hist_len, hist.shape[1])),
+            "eligible": jnp.asarray(
+                np.nonzero(data.hist_len >= 2)[0].astype(np.int32)),
+        }
+
+        eval_bu = min(config.eval_batch_users,
+                      getattr(model, "eval_batch_users", config.eval_batch_users))
+        self.evaluator = FullRankEvaluator(
+            data, batch_users=eval_bu,
+            eval_hist_len=getattr(model, "maxlen", None))
+
+        if hasattr(model, "extra_device_data"):
+            self.dev.update(model.extra_device_data(data))
+
+        if custom_epoch is not None:
+            self.epoch_fn = custom_epoch
+            self.num_batches = 1
+        elif hasattr(model, "make_epoch_fn"):
+            # models with bespoke training procedures (popularity
+            # discriminators, GAN minimax) build their own epoch program
+            self.num_batches = max(data.num_pairs // config.batch_size, 1)
+            self.epoch_fn = model.make_epoch_fn(
+                optimizer, config.batch_size, self.num_batches)
+        elif model.batch_kind == "seq":
+            # reference: num_batch = len(trainSeq) // batch_size (SASRec.py:449)
+            n_seq_users = int((data.hist_len >= 1).sum())
+            self.num_batches = max(n_seq_users // config.batch_size, 1)
+            self.epoch_fn = make_seq_epoch_fn(
+                model, optimizer, config.batch_size, self.num_batches)
+        else:
+            self.num_batches = max(data.num_pairs // config.batch_size, 1)
+            self.epoch_fn = make_pair_epoch_fn(
+                model, optimizer, config.batch_size, self.num_batches)
+
+        key = jax.random.PRNGKey(config.seed)
+        self.key, k_init = jax.random.split(key)
+        self.params = model.init_params(k_init)
+        if hasattr(model, "init_opt_state"):
+            self.opt_state = model.init_opt_state(optimizer, self.params)
+        else:
+            self.opt_state = optimizer.init(self.params)
+
+        self.best = {"ndcg": -1.0, "epoch": -1, "result": None}
+
+    # ------------------------------------------------------------------
+    def run_epoch(self):
+        self.key, k = jax.random.split(self.key)
+        (self.params, self.opt_state), stats = self.epoch_fn(
+            (self.params, self.opt_state), self.dev, k)
+        return jax.tree.map(float, jax.device_get(stats))
+
+    def evaluate(self):
+        return self.evaluator.evaluate(self.model.score_all, self.params)
+
+    def fit(self, epochs: Optional[int] = None, epoch_start: int = 0,
+            tag: str = "", final: bool = True) -> dict:
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        for epoch in range(epoch_start, epochs):
+            t0 = time.time()
+            stats = self.run_epoch()
+            train_time = time.time() - t0
+            loss = stats.get("loss", float("nan"))
+            if math.isnan(loss):
+                self.writer.line(f"Epoch {epoch}: NaN loss, aborting")
+                break
+            if epoch % cfg.verbose == 0:
+                t1 = time.time()
+                res = self.evaluate()
+                eval_time = time.time() - t1
+                hr, ndcg, auc = res.at_k(cfg.topk)
+                norms = self._table_norms()
+                # reference epoch-line format (evaluation_adv.py:323-325)
+                self.writer.line(
+                    "Epoch %d [%.1fs + %.1fs]: HR = %.4f, NDCG = %.4f "
+                    "ACC = %.4f ACC_adv = %.4f [%.1fs], |P|=%.2f, |Q|=%.2f"
+                    % (epoch, 0.0, train_time, hr, ndcg,
+                       stats.get("acc", 0.0), stats.get("acc", 0.0),
+                       eval_time, norms[0], norms[1]))
+                if ndcg > self.best["ndcg"]:
+                    self.best = {"ndcg": ndcg, "epoch": epoch,
+                                 "result": res, "hr": hr, "auc": auc}
+                    self.writer.predictions(f"{tag}.hr", res.hr[:, cfg.topk - 1])
+                    self.writer.predictions(f"{tag}.ndcg", res.ndcg[:, cfg.topk - 1])
+            if cfg.ckpt_every and cfg.ckpt_path and epoch % cfg.ckpt_every == 0:
+                save_params(f"{cfg.ckpt_path}-{epoch}", self.params)
+        # the reference writes the K=1..100 sweep only at the terminal epoch
+        # (evaluation_adv.py:295-300) — not between APR phases
+        if final and self.best["result"] is not None:
+            self._write_best_sweep()
+        return self.best
+
+    def _write_best_sweep(self):
+        res = self.best["result"]
+        self.writer.line("Epoch %d is the best epoch" % self.best["epoch"])
+        hr_k = res.hr.mean(0)
+        ndcg_k = res.ndcg.mean(0)
+        auc = float(res.auc.mean())
+        for k in range(hr_k.shape[0]):
+            self.writer.line("K = %d: HR = %.4f, NDCG = %.4f AUC = %.4f"
+                             % (k + 1, hr_k[k], ndcg_k[k], auc))
+
+    def _table_norms(self):
+        p = self.params.get("P") if isinstance(self.params, dict) else None
+        q = self.params.get("Q") if isinstance(self.params, dict) else None
+        np_ = float(jnp.linalg.norm(p)) if p is not None else 0.0
+        nq = float(jnp.linalg.norm(q)) if q is not None else 0.0
+        return np_, nq
+
+    # ------------------------------------------------------------------
+    def switch_model(self, model):
+        """Swap the model (e.g. clean → adversarial for APR phase 2) while
+        keeping params and optimizer slots — the reference does this via a
+        graph rebuild plus checkpoint restore (run_adv.py:97-120)."""
+        self.model = model
+        if model.batch_kind == "seq":
+            self.epoch_fn = make_seq_epoch_fn(
+                model, self.optimizer, self.cfg.batch_size, self.num_batches)
+        else:
+            self.epoch_fn = make_pair_epoch_fn(
+                model, self.optimizer, self.cfg.batch_size, self.num_batches)
+        self.evaluator = FullRankEvaluator(
+            self.data, batch_users=self.cfg.eval_batch_users,
+            eval_hist_len=getattr(model, "maxlen", None))
+
+
+def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
+                  config: TrainConfig, adv_epoch: int,
+                  writer: Optional[OutputWriter] = None, tag: str = "") -> dict:
+    """APR protocol (reference run_adv.py:56-120): train the clean model for
+    ``adv_epoch`` epochs, then continue adversarially to ``config.epochs``."""
+    trainer = Trainer(clean_model, data, optimizer, config, writer)
+    trainer.fit(epochs=adv_epoch, tag=tag, final=False)
+    if config.ckpt_path:
+        save_params(config.ckpt_path + "-pretrain", trainer.params)
+    trainer.switch_model(adv_model)
+    best = trainer.fit(epochs=config.epochs, epoch_start=adv_epoch, tag=tag)
+    if config.ckpt_path:
+        save_params(config.ckpt_path + "-final", trainer.params)
+    return best

@@ -1,0 +1,96 @@
+import numpy as np
+import pandas as pd
+
+from acf_tpu.data import interactions_from_frame, load_dataset
+
+REF_DATA = "/root/reference/data"
+
+
+def tiny_frame():
+    # user A: items 10,11,12,11 (test=11); user B: 12,10 (test=10)
+    return pd.DataFrame({
+        "uid": ["A", "A", "A", "A", "B", "B"],
+        "iid": [10, 11, 12, 11, 12, 10],
+        "timestamp": [1, 2, 3, 4, 1, 2],
+    })
+
+
+def test_leave_one_out_and_reindex():
+    d = interactions_from_frame(tiny_frame())
+    # ids recoded: users A->1, B->2; items 10->1, 11->2, 12->3
+    assert d.num_users == 3 and d.num_items == 4
+    # test items: A's last is 11->2; B's last is 10->1
+    assert d.test_item[1] == 2 and d.test_item[2] == 1
+    # A trains on [1,2,3] (chronological: 10,11,12), B on [3]
+    assert d.hist_len[1] == 3 and d.hist_len[2] == 1
+    np.testing.assert_array_equal(d.hist[1][-3:], [1, 2, 3])
+    assert d.hist[2][-1] == 3
+    # unique pairs: A has 3 distinct, B has 1
+    assert d.uniq_count[1] == 3 and d.uniq_count[2] == 1
+    assert d.num_pairs == 4
+    # A's gt (item 2) IS in A's train; B's gt (1) is not
+    assert d.gt_in_train[1] and not d.gt_in_train[2]
+
+
+def test_num_eval_candidates():
+    d = interactions_from_frame(tiny_frame())
+    # rule (reference evaluation_adv.py:425-437):
+    # A: items {0..3} - train{1,2,3} - {0} = {} ... gt in train so no extra
+    #    removal -> 4 - 1 - 3 - 0 = 0
+    # B: 4 - 1 - 1 - 1 = 1
+    n = d.num_eval_candidates()
+    assert n[1] == 0 and n[2] == 1
+
+
+def test_hist_duplicates_kept():
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1],
+        "iid": [5, 5, 6, 7],
+        "timestamp": [1, 2, 3, 4],
+    })
+    d = interactions_from_frame(df)
+    # train seq = [5, 5, 6] with the duplicate kept; 2 unique pairs
+    assert d.hist_len[1] == 3
+    assert d.uniq_count[1] == 2
+
+
+def test_max_hist_len_truncates_oldest():
+    df = pd.DataFrame({
+        "uid": [1] * 5,
+        "iid": [11, 12, 13, 14, 15],
+        "timestamp": range(5),
+    })
+    d = interactions_from_frame(df, max_hist_len=2)
+    # train = [11..14]; only the 2 most recent kept
+    np.testing.assert_array_equal(d.hist[1], [3, 4])
+
+
+def test_sampled_negatives_reject_train_and_gt():
+    rng = np.random.default_rng(0)
+    rows = [(u, int(i), t) for t, (u, i) in enumerate(
+        (u, rng.integers(1, 30)) for u in range(1, 8) for _ in range(6))]
+    df = pd.DataFrame(rows, columns=["uid", "iid", "timestamp"])
+    d = interactions_from_frame(df, reindex=False, num_negatives=16)
+    for u in range(1, 8):
+        train = set(d.hist[u]) - {0}
+        for n in d.test_negatives[u]:
+            assert n not in train
+            assert n != d.test_item[u]
+            assert n != 0
+
+
+def test_sampled_negatives_exhausted_pool_terminates():
+    # user's train set covers the whole candidate pool → zeros, no hang
+    d = interactions_from_frame(tiny_frame(), num_negatives=4)
+    assert d.test_negatives.shape == (3, 4)
+
+
+def test_load_video_subset():
+    d = load_dataset("video", REF_DATA, nrows=5000)
+    assert d.num_users > 100 and d.num_items > 100
+    assert d.num_pairs > 0
+    users = d.eval_users()
+    assert len(users) > 0
+    # every eval user's gt is a valid item id
+    assert (d.test_item[users] >= 1).all()
+    assert (d.test_item[users] < d.num_items).all()

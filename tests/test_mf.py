@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acf_tpu.models.mf import MFBPR, PointwiseMF
+from acf_tpu.models.base import row_normalize
+
+
+def numpy_bpr_loss(P, Q, u, i, j):
+    """Oracle for the reference loss (evaluation_adv.py:155-166)."""
+    pos = (P[u] * Q[i]).sum(-1)
+    neg = (P[u] * Q[j]).sum(-1)
+    diff = np.clip(pos - neg, -80.0, 1e8)
+    return np.sum(np.log1p(np.exp(-diff)))
+
+
+def setup(adversarial=False, reg=0.0):
+    model = MFBPR(20, 30, 8, reg=reg, adversarial=adversarial, eps=0.5, reg_adv=1.0)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    u = rng.integers(1, 20, size=16)
+    i = rng.integers(1, 30, size=16)
+    j = rng.integers(1, 30, size=16)
+    return model, params, u, i, j
+
+
+def test_clean_loss_matches_oracle():
+    model, params, u, i, j = setup()
+    loss, aux = model.loss(params, (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j)),
+                           jax.random.PRNGKey(1))
+    oracle = numpy_bpr_loss(np.asarray(params["P"]), np.asarray(params["Q"]), u, i, j)
+    np.testing.assert_allclose(float(loss), oracle, rtol=1e-5)
+
+
+def test_reg_term():
+    model, params, u, i, j = setup(reg=0.1)
+    loss, _ = model.loss(params, (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j)),
+                         jax.random.PRNGKey(1))
+    P, Q = np.asarray(params["P"]), np.asarray(params["Q"])
+    reg_term = np.mean(P[u] ** 2 + Q[i] ** 2 + Q[j] ** 2)
+    oracle = numpy_bpr_loss(P, Q, u, i, j) + 0.1 * reg_term
+    np.testing.assert_allclose(float(loss), oracle, rtol=1e-5)
+
+
+def test_fgsm_delta_oracle():
+    """FGSM delta = eps * row-normalized dense grad of the clean loss
+    (evaluation_adv.py:192-203). For MF the grad rows are closed-form:
+    dL/dP[u] = -sigma(-(diff)) * (Q[i] - Q[j]) scatter-added over the batch."""
+    model, params, u, i, j = setup(adversarial=True)
+    P, Q = np.asarray(params["P"]), np.asarray(params["Q"])
+    pos = (P[u] * Q[i]).sum(-1)
+    neg = (P[u] * Q[j]).sum(-1)
+    coeff = -1.0 / (1.0 + np.exp(pos - neg))  # d softplus(-(x)) / dx
+    gP = np.zeros_like(P)
+    gQ = np.zeros_like(Q)
+    for b in range(len(u)):
+        gP[u[b]] += coeff[b] * (Q[i[b]] - Q[j[b]])
+        gQ[i[b]] += coeff[b] * P[u[b]]
+        gQ[j[b]] -= coeff[b] * P[u[b]]
+
+    def rn(x):
+        n = np.sqrt((x ** 2).sum(-1, keepdims=True))
+        return np.where(n > 1e-12, x / np.maximum(n, 1e-12), 0.0)
+
+    dP, dQ = model.fgsm_deltas(params, jnp.asarray(u), jnp.asarray(i), jnp.asarray(j))
+    np.testing.assert_allclose(np.asarray(dP), 0.5 * rn(gP), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dQ), 0.5 * rn(gQ), atol=1e-5)
+    # untouched rows have zero delta
+    untouched = sorted(set(range(20)) - set(u.tolist()))
+    assert np.abs(np.asarray(dP)[untouched]).max() == 0.0
+
+
+def test_adversarial_loss_composition():
+    model, params, u, i, j = setup(adversarial=True)
+    batch = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j))
+    loss_adv_total, aux = model.loss(params, batch, jax.random.PRNGKey(1))
+    clean = MFBPR(20, 30, 8, adversarial=False)
+    loss_clean, _ = clean.loss(params, batch, jax.random.PRNGKey(1))
+    # opt = clean + reg_adv * adv  (reg = 0 here)
+    np.testing.assert_allclose(
+        float(loss_adv_total), float(loss_clean) + float(aux["loss_adv"]), rtol=1e-5)
+    # perturbation increases the loss (that's the point of FGSM)
+    assert float(aux["loss_adv"]) > float(aux["loss"])
+
+
+def test_row_normalize_zero_rows():
+    x = jnp.asarray(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    out = np.asarray(row_normalize(x))
+    np.testing.assert_allclose(out[0], [0.0, 0.0])
+    np.testing.assert_allclose(out[1], [0.6, 0.8], rtol=1e-6)
+
+
+def test_pointwise_mf_loss():
+    model = PointwiseMF(10, 15, 4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    u = jnp.asarray([1, 2]); i = jnp.asarray([3, 4]); j = jnp.asarray([5, 6])
+    loss, aux = model.loss(params, (u, i, j), jax.random.PRNGKey(0))
+    P, Q = np.asarray(params["P"]), np.asarray(params["Q"])
+    ps = (P[[1, 2]] * Q[[3, 4]]).sum(-1)
+    ns = (P[[1, 2]] * Q[[5, 6]]).sum(-1)
+    logits = np.concatenate([ps, ns]); labels = np.array([1, 1, 0, 0.])
+    oracle = np.mean(np.logaddexp(0, logits) - labels * logits)
+    np.testing.assert_allclose(float(loss), oracle, rtol=1e-5)

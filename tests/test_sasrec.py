@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from acf_tpu.data import interactions_from_frame
+from acf_tpu.models.sasrec import SASRec
+from acf_tpu.train import Trainer, TrainConfig
+
+
+def seq_data(num_users=40, num_items=25, seed=0):
+    """Markov-chain-ish sequences: item i tends to be followed by i+1."""
+    rng = np.random.default_rng(seed)
+    rows, t = [], 0
+    for u in range(1, num_users):
+        i = int(rng.integers(1, num_items))
+        for _ in range(12):
+            rows.append((u, i, t)); t += 1
+            i = i + 1 if i + 1 < num_items and rng.random() < 0.8 \
+                else int(rng.integers(1, num_items))
+    return interactions_from_frame(
+        pd.DataFrame(rows, columns=["uid", "iid", "timestamp"]), reindex=False)
+
+
+def make_model(data, **kw):
+    return SASRec(data.num_users, data.num_items, dim=16, maxlen=8,
+                  dropout_rate=0.2, **kw)
+
+
+def test_encode_shapes_and_padding_invariance():
+    data = seq_data()
+    m = make_model(data)
+    params = m.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4], [0, 0, 0, 0, 0, 0, 0, 5]])
+    out = m.encode(params, seq)
+    assert out.shape == (2, 8, 16)
+    # changing a PAD position's id from 0 stays 0 → but changing an item in
+    # the *future* must not affect earlier positions (causality):
+    seq2 = seq.at[0, 7].set(9)
+    out2 = m.encode(params, seq2)
+    np.testing.assert_allclose(np.asarray(out[0, :7]), np.asarray(out2[0, :7]),
+                               atol=1e-5)
+
+
+def test_pad_row_is_zero():
+    data = seq_data()
+    m = make_model(data)
+    params = m.init_params(jax.random.PRNGKey(0))
+    assert float(jnp.abs(params["item_emb"][0]).max()) == 0.0
+
+
+def test_loss_finite_and_deltas():
+    data = seq_data()
+    m = make_model(data, adversarial=True, eps=0.5)
+    params = m.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4]])
+    pos = jnp.asarray([[0, 0, 0, 1, 2, 3, 4, 5]])
+    neg = jnp.asarray([[0, 0, 0, 9, 9, 9, 9, 9]])
+    users = jnp.asarray([1])
+    loss, aux = m.loss(params, (users, seq, pos, neg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert float(aux["loss_adv"]) >= float(aux["loss"]) - 1e-3
+    # delta rows are eps-normalized or zero
+    delta = m._delta_tree(params, seq, pos, neg)
+    norms = np.linalg.norm(np.asarray(delta["item_emb"]), axis=1)
+    nz = norms[norms > 1e-9]
+    np.testing.assert_allclose(nz, 0.5, rtol=1e-4)
+    # only items appearing in the batch loss get a delta
+    touched = set(np.asarray(seq).ravel()) | set(np.asarray(pos).ravel()) | \
+        set(np.asarray(neg).ravel())
+    for i in range(data.num_items):
+        if i not in touched:
+            assert norms[i] < 1e-9
+    # asasrec2 perturbs dense kernels too
+    m2 = make_model(data, adversarial=True, adv_mode="asasrec2",
+                    eps_dense=0.3, eps_conv=0.2)
+    d2 = m2._delta_tree(params, seq, pos, neg)
+    assert float(jnp.abs(d2["blocks"][0]["wq"]["w"]).max()) > 0
+    assert float(jnp.abs(d2["blocks"][0]["conv1"]["w"]).max()) > 0
+    loss2, aux2 = m2.loss(params, (users, seq, pos, neg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss2))
+
+
+def test_sasrec_training_improves():
+    data = seq_data()
+    m = make_model(data)
+    opt = optax.adam(1e-2, b2=0.98)
+    tr = Trainer(m, data, opt, TrainConfig(batch_size=16, verbose=10**9))
+    before = tr.evaluate().at_k(10)
+    for _ in range(30):
+        stats = tr.run_epoch()
+    after = tr.evaluate().at_k(10)
+    # sequences are strongly next-item predictable → large gain expected
+    assert after[1] > before[1] + 0.1, (before, after)
+
+
+def test_score_all_matches_score_some():
+    data = seq_data()
+    m = make_model(data)
+    params = m.init_params(jax.random.PRNGKey(0))
+    users = jnp.asarray([1, 2])
+    hists = jnp.asarray(data.hist[np.array([1, 2])])
+    all_scores = np.asarray(m.score_all(params, users, hists))
+    items = jnp.asarray([[3, 5, 7], [2, 4, 6]])
+    some = np.asarray(m.score_some(params, users, hists, items))
+    for b in range(2):
+        np.testing.assert_allclose(some[b], all_scores[b, np.asarray(items)[b]],
+                                   rtol=1e-4, atol=1e-5)
