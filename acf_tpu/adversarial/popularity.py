@@ -120,7 +120,8 @@ class PopularityAdversarial(PairwiseModel):
         return self.base.loss(params["base"], batch, key)
 
     # -- the fused epoch ----------------------------------------------------
-    def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int):
+    def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
+                      dev=None):
         disc_opt = self._disc_opt()
         half = batch_size // 2
 

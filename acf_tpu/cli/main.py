@@ -1,0 +1,173 @@
+"""Unified CLI — one entry point covering the reference's three drivers.
+
+Flag set is the union of run.py:25-75, run_adv.py:15-54 and
+run_adv_ori.py:17-64; model names match the reference registry
+(run.py:124-201, run_adv_ori.py:100-215):
+
+  mf bpr apr amf abpr neumf aneumf sasrec asasrec asasrec2 gru4rec caser
+  dream drcf irgan apl pop mrv mfv av
+
+Two-phase adversarial staging (apr/asasrec/asasrec2) follows
+run_adv.py:97-120: clean training until --adv_epoch, then the adversarial
+objective continues from the same parameters.
+
+Usage:
+    python -m acf_tpu.cli.main --model apr --data video --path data/ \
+        --epochs 200 --adv_epoch 100 --d 64
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import datetime
+
+import optax
+
+from acf_tpu.data import load_dataset
+from acf_tpu.train import TrainConfig, Trainer
+from acf_tpu.train.trainer import fit_two_phase
+from acf_tpu.utils.io import OutputWriter
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native adversarial CF")
+    p.add_argument("--path", type=str, default="", help="data directory root")
+    p.add_argument("--opath", type=str, default="out/", help="output dir")
+    p.add_argument("--model", type=str, default="bpr")
+    p.add_argument("--data", type=str, default="video")
+    p.add_argument("--d", "--embed_size", dest="d", type=int, default=64)
+    p.add_argument("--maxlen", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--adv_epoch", type=int, default=50,
+                   help="epoch at which the adversarial phase starts")
+    p.add_argument("--bs", "--batch_size", dest="bs", type=int, default=512)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--reg", type=float, default=0.0)
+    p.add_argument("--reg_adv", type=float, default=1.0)
+    p.add_argument("--eps", type=float, default=0.5)
+    p.add_argument("--eps_pos", type=float, default=0.0)
+    p.add_argument("--eps_dense", type=float, default=0.0)
+    p.add_argument("--eps_conv", type=float, default=0.0)
+    p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
+    p.add_argument("--w", type=float, default=0.001,
+                   help="popularity-discriminator weight")
+    p.add_argument("--pp", type=float, default=0.2, help="popularity percent")
+    p.add_argument("--eval_mode", type=str, default="all",
+                   choices=["all", "sample"])
+    p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--ckpt", type=int, default=0)
+    p.add_argument("--seed", type=int, default=2019)
+    p.add_argument("--nrows", type=int, default=0,
+                   help="truncate the dataset (smoke runs)")
+    return p
+
+
+def make_model(name, data, args):
+    """name → (model, optimizer, clean_model_for_phase1 | None)."""
+    from acf_tpu.adversarial import PopularityAdversarial
+    from acf_tpu.models import (
+        APL, DRCF, DREAM, IRGAN, MFBPR, AlreadyVisit, Caser, GRU4Rec,
+        MostFrequentlyVisit, MostPopular, MostRecentlyVisit, NeuMF,
+        PointwiseMF, SASRec,
+    )
+
+    U, I, d = data.num_users, data.num_items, args.d
+    adam = optax.adam(0.001)
+    adagrad = optax.adagrad(args.lr, initial_accumulator_value=0.1)
+
+    if name == "mf":
+        return PointwiseMF(U, I, d), adam, None
+    if name in ("bpr", "bpr-tf"):
+        return MFBPR(U, I, d, reg=args.reg), adagrad, None
+    if name == "apr":
+        clean = MFBPR(U, I, d, reg=args.reg)
+        adv = MFBPR(U, I, d, reg=args.reg, adversarial=True, eps=args.eps,
+                    reg_adv=args.reg_adv, adv_mode=args.adv)
+        return adv, adagrad, clean
+    if name in ("amf", "amf2"):
+        base = PointwiseMF(U, I, d)
+        return PopularityAdversarial(U, I, d, base=base, weight=args.w,
+                                     pop_percent=args.pp), adam, None
+    if name == "abpr":
+        base = MFBPR(U, I, d)
+        return PopularityAdversarial(U, I, d, base=base, weight=args.w,
+                                     pop_percent=args.pp), adam, None
+    if name == "neumf":
+        return NeuMF(U, I, d), adam, None
+    if name == "aneumf":
+        base = NeuMF(U, I, d)
+        return PopularityAdversarial(U, I, d, base=base, weight=args.w,
+                                     pop_percent=args.pp), adam, None
+    if name == "sasrec":
+        return SASRec(U, I, d, maxlen=args.maxlen), optax.adam(0.001, b2=0.98), None
+    if name in ("asasrec", "asasrec2"):
+        clean = SASRec(U, I, d, maxlen=args.maxlen)
+        adv = SASRec(U, I, d, maxlen=args.maxlen, adversarial=True,
+                     adv_mode=name, eps=args.eps, reg_adv=args.reg_adv,
+                     eps_pos=args.eps_pos, eps_dense=args.eps_dense,
+                     eps_conv=args.eps_conv)
+        return adv, optax.adam(0.001, b2=0.98), clean
+    if name == "gru4rec":
+        return GRU4Rec(U, I, d, maxlen=args.maxlen), adam, None
+    if name in ("dream", "dream-tf"):
+        return DREAM(U, I, d, maxlen=args.maxlen), adam, None
+    if name == "drcf":
+        return DRCF(U, I, d, maxlen=args.maxlen), adam, None
+    if name == "caser":
+        return Caser(U, I, d, maxlen=args.maxlen), adam, None
+    if name == "irgan":
+        return IRGAN(U, I, d), optax.sgd(0.001), None
+    if name == "apl":
+        return APL(U, I, d), optax.sgd(0.05), None
+    if name == "pop":
+        return MostPopular(U, I, d, data=data), adam, None
+    if name == "mrv":
+        return MostRecentlyVisit(U, I, d, data=data), adam, None
+    if name == "mfv":
+        return MostFrequentlyVisit(U, I, d, data=data), adam, None
+    if name == "av":
+        return AlreadyVisit(U, I, d, data=data), adam, None
+    raise ValueError(f"unknown model {name!r}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    data = load_dataset(args.data, args.path or "data/",
+                        eval_mode=args.eval_mode,
+                        nrows=args.nrows or None)
+    model, optimizer, clean = make_model(args.model, data, args)
+
+    run_name = "%s_%s_d%d_%s" % (
+        args.data, args.model, args.d,
+        datetime.now().strftime("%Y_%m_%d_%H_%M_%S"))
+    writer = OutputWriter(args.opath, run_name)
+    writer.line(
+        "Load data done. #user=%d, #item=%d, #train=%d, #test=%d"
+        % (data.num_users, data.num_items, data.num_pairs,
+           len(data.eval_users())))
+
+    epochs = args.epochs
+    if args.model in ("pop", "mrv", "mfv", "av"):
+        epochs = 1  # naive baselines need one pass (run.py:275-276)
+    cfg = TrainConfig(batch_size=args.bs, epochs=epochs,
+                      verbose=args.verbose, topk=args.topk,
+                      ckpt_every=args.ckpt,
+                      ckpt_path=(f"Pretrain/{args.data}/{args.model}"
+                                 if args.ckpt else None),
+                      seed=args.seed)
+
+    if clean is not None:
+        best = fit_two_phase(clean, model, data, optimizer, cfg,
+                             adv_epoch=args.adv_epoch, writer=writer)
+    else:
+        trainer = Trainer(model, data, optimizer, cfg, writer)
+        best = trainer.fit()
+    writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
+                % (best.get("epoch", -1), best.get("hr", 0.0),
+                   best.get("ndcg", 0.0)))
+    return best
+
+
+if __name__ == "__main__":
+    main()

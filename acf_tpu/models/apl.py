@@ -1,0 +1,188 @@
+"""APL: Adversarial Pairwise Learning (generator + critic).
+
+Reference APL.py:52-259: a generator's full-catalog softmax produces
+differentiable "fake" items via Gumbel-softmax (temperature 0.2,
+APL.py:42-47); a critic scores (real, fake) dot products and trains on
+``y = real − fake`` with log / wgan / hinge losses (APL.py:157-184). The
+generator mixes ``p_aux`` — 0.2 spread uniformly over the user's positives —
+into its distribution during its own step (APL.py:250-252). SGD(lr=0.05) for
+both players; critic weight clipping ±0.05 under wgan.
+
+The reference hardcodes a BPR checkpoint path for generator init
+(APL.py:68-78) — here use ``load_params``/``init_from`` instead.
+
+TPU redesign: both phases are batched scans; ``p_aux`` rows are built by
+scatter from the padded history matrix instead of a per-batch python loop
+(APL.py:250-252).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from acf_tpu.models.base import PairwiseModel
+from acf_tpu.sampling.negatives import sample_pair_epoch
+
+
+def gumbel_softmax(key, probs, temperature=0.2, eps=1e-20):
+    """The reference's formulation (APL.py:42-47): softmax((log(p + eps) +
+    gumbel) / T). Note the input is a probability vector, not raw logits."""
+    u = jax.random.uniform(key, probs.shape, minval=0.0, maxval=1.0)
+    g = -jnp.log(-jnp.log(u + eps) + eps)
+    return jax.nn.softmax((jnp.log(probs + eps) + g) / temperature, axis=-1)
+
+
+@dataclasses.dataclass(eq=False)
+class APL(PairwiseModel):
+    lr: float = 0.05
+    loss_function: str = "log"   # 'log' | 'wgan' | 'hinge' (APL.py:62)
+    reg_g: float = 0.0           # regs[0] (APL.py:61)
+    reg_c: float = 0.05          # regs[1]
+    temperature: float = 0.2
+    p_aux_weight: float = 0.2    # APL.py:196, 250-252
+
+    def init_params(self, key):
+        ks = jax.random.split(key, 4)
+        u = lambda k, s: jax.random.uniform(k, s, jnp.float32, -0.05, 0.05)
+        return {
+            "g": {"P": u(ks[0], (self.num_users, self.dim)),
+                  "Q": u(ks[1], (self.num_items, self.dim))},
+            "c": {"P": u(ks[2], (self.num_users, self.dim)),
+                  "Q": u(ks[3], (self.num_items, self.dim))},
+        }
+
+    def init_opt_state(self, optimizer, params):
+        return {"g": optax.sgd(self.lr).init(params["g"]),
+                "c": optax.sgd(self.lr).init(params["c"])}
+
+    # evaluation ranks with the generator (APL.py:205-211)
+    def score_all(self, params, users, hists):
+        return params["g"]["P"][users] @ params["g"]["Q"].T
+
+    def score_some(self, params, users, hists, items):
+        return jnp.einsum("bd,bmd->bm", params["g"]["P"][users],
+                          params["g"]["Q"][items])
+
+    def loss(self, params, batch, key):
+        users, pos, neg = batch
+        g = params["g"]
+        ps = jnp.sum(g["P"][users] * g["Q"][pos], -1)
+        ns = jnp.sum(g["P"][users] * g["Q"][neg], -1)
+        loss = jnp.mean(jnp.logaddexp(0.0, -(ps - ns)))
+        return loss, {"loss": loss, "acc": jnp.mean(ps > ns)}
+
+    # ------------------------------------------------------------------
+    def _losses(self, real, fake, g_l2, c_l2):
+        """(gen_loss, critic_loss) per APL.py:157-184."""
+        y = real - fake
+        if self.loss_function == "wgan":
+            return (-jnp.mean(fake) + self.reg_g * g_l2, jnp.mean(-y))
+        if self.loss_function == "hinge":
+            return (-jnp.mean(jnp.maximum(1.0 - y, 0.0)) + self.reg_g * g_l2,
+                    jnp.mean(jnp.maximum(1.0 - y, 0.0)) + self.reg_c * c_l2)
+        # log loss (stable): log σ(y) = −softplus(−y)
+        return (jnp.mean(-jnp.logaddexp(0.0, -y)) + self.reg_g * g_l2,
+                jnp.mean(jnp.logaddexp(0.0, -y)) + self.reg_c * c_l2)
+
+    def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
+                      dev=None):
+        g_opt = optax.sgd(self.lr)
+        c_opt = optax.sgd(self.lr)
+
+        def fake_onehot_critic(g_params, users, key):
+            """Critic-phase sampling: gumbel_softmax(softmax(logits / T))
+            (APL.py:200-203); constant wrt both players' gradients here."""
+            logits = g_params["P"][users] @ g_params["Q"].T
+            probs = jax.nn.softmax(logits / self.temperature, axis=-1)
+            return gumbel_softmax(key, probs, self.temperature)
+
+        def fake_onehot_gen(g_params, users, hist_rows, key):
+            """Generator-phase sampling with the p_aux positive mixture
+            (APL.py:193-198, 250-252). Differentiable wrt g_params."""
+            logits = g_params["P"][users] @ g_params["Q"].T
+            probs = jax.nn.softmax(logits, axis=-1)
+            b = users.shape[0]
+            npos = jnp.maximum(jnp.sum(hist_rows != 0, -1, keepdims=True), 1)
+            p_aux = jnp.zeros_like(probs)
+            rows = jnp.arange(b)[:, None]
+            p_aux = p_aux.at[rows, hist_rows].add(
+                jnp.where(hist_rows != 0,
+                          self.p_aux_weight / npos.astype(jnp.float32), 0.0))
+            mixed = (1.0 - self.p_aux_weight) * probs + p_aux
+            return gumbel_softmax(key, mixed, self.temperature)
+
+        def critic_step_loss(c_params, g_params, users, items, key):
+            pu = c_params["P"][users]
+            qi = c_params["Q"][items]
+            real = jnp.sum(pu * qi, -1)
+            onehot = jax.lax.stop_gradient(
+                fake_onehot_critic(g_params, users, key))
+            fake_emb = onehot @ c_params["Q"]
+            fake = jnp.sum(pu * fake_emb, -1)
+            c_l2 = (jnp.sum(jnp.square(pu)) + jnp.sum(jnp.square(qi))
+                    + jnp.sum(jnp.square(fake_emb))) / 2
+            _, c_loss = self._losses(real, fake, 0.0, c_l2)
+            return c_loss
+
+        def gen_step_loss(g_params, c_params, users, items, hist_rows, key):
+            pu = jax.lax.stop_gradient(c_params["P"][users])
+            qi = jax.lax.stop_gradient(c_params["Q"][items])
+            real = jnp.sum(pu * qi, -1)
+            onehot = fake_onehot_gen(g_params, users, hist_rows, key)
+            fake_emb = onehot @ jax.lax.stop_gradient(c_params["Q"])
+            fake = jnp.sum(pu * fake_emb, -1)
+            g_l2 = (jnp.sum(jnp.square(g_params["P"][users]))
+                    + jnp.sum(jnp.square(g_params["Q"]))) / 2
+            g_loss, _ = self._losses(real, fake, g_l2, 0.0)
+            return g_loss
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(carry, data, key):
+            params, opt_state = carry
+            k_perm, k_c, k_g = jax.random.split(key, 3)
+            n = data["pairs_u"].shape[0]
+            batches = sample_pair_epoch(k_perm, n, batch_size, num_batches)
+
+            def c_step(c, xs):
+                c_params, c_os = c
+                idx, kk = xs
+                u = data["pairs_u"][idx]
+                i = data["pairs_i"][idx]
+                cl, grads = jax.value_and_grad(critic_step_loss)(
+                    c_params, params["g"], u, i, kk)
+                up, c_os = c_opt.update(grads, c_os, c_params)
+                c_params = optax.apply_updates(c_params, up)
+                if self.loss_function == "wgan":
+                    c_params = jax.tree.map(
+                        lambda x: jnp.clip(x, -0.05, 0.05), c_params)
+                return (c_params, c_os), cl
+
+            c_keys = jax.random.split(k_c, num_batches)
+            (c_new, c_os), c_losses = jax.lax.scan(
+                c_step, (params["c"], opt_state["c"]), (batches, c_keys))
+
+            def g_step(c, xs):
+                g_params, g_os = c
+                idx, kk = xs
+                u = data["pairs_u"][idx]
+                i = data["pairs_i"][idx]
+                hist_rows = data["hist"][u]
+                gl, grads = jax.value_and_grad(gen_step_loss)(
+                    g_params, c_new, u, i, hist_rows, kk)
+                up, g_os = g_opt.update(grads, g_os, g_params)
+                return (optax.apply_updates(g_params, up), g_os), gl
+
+            g_keys = jax.random.split(k_g, num_batches)
+            (g_new, g_os), g_losses = jax.lax.scan(
+                g_step, (params["g"], opt_state["g"]), (batches, g_keys))
+
+            stats = {"loss": jnp.mean(g_losses), "d_loss": jnp.mean(c_losses),
+                     "acc": jnp.float32(0.0)}
+            return ({"g": g_new, "c": c_new}, {"g": g_os, "c": c_os}), stats
+
+        return epoch_fn

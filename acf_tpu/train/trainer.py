@@ -153,10 +153,11 @@ class Trainer:
             self.num_batches = 1
         elif hasattr(model, "make_epoch_fn"):
             # models with bespoke training procedures (popularity
-            # discriminators, GAN minimax) build their own epoch program
+            # discriminators, GAN minimax, windowed instances) build their
+            # own epoch program from the device data
             self.num_batches = max(data.num_pairs // config.batch_size, 1)
             self.epoch_fn = model.make_epoch_fn(
-                optimizer, config.batch_size, self.num_batches)
+                optimizer, config.batch_size, self.num_batches, self.dev)
         elif model.batch_kind == "seq":
             # reference: num_batch = len(trainSeq) // batch_size (SASRec.py:449)
             n_seq_users = int((data.hist_len >= 1).sum())

@@ -1,0 +1,91 @@
+import numpy as np
+import optax
+import pytest
+
+from acf_tpu.models.apl import APL
+from acf_tpu.models.irgan import IRGAN
+from acf_tpu.models.naive import (
+    AlreadyVisit, MostFrequentlyVisit, MostPopular, MostRecentlyVisit,
+)
+from acf_tpu.train import Trainer, TrainConfig
+from tests.test_trainer import synthetic_data
+
+
+def test_irgan_epoch_and_eval():
+    data = synthetic_data(seed=11)
+    model = IRGAN(data.num_users, data.num_items, 8)
+    tr = Trainer(model, data, optax.sgd(0.001),
+                 TrainConfig(batch_size=32, verbose=10**9))
+    s = tr.run_epoch()
+    assert np.isfinite(s["loss"]) and np.isfinite(s["d_loss"])
+    before = tr.evaluate().at_k(10)
+    for _ in range(20):
+        tr.run_epoch()
+    after = tr.evaluate().at_k(10)
+    # discriminator signal should lift the generator above random-ish start
+    assert after[2] > 0.5, (before, after)  # AUC
+
+
+@pytest.mark.parametrize("loss_fn", ["log", "wgan", "hinge"])
+def test_apl_epoch(loss_fn):
+    data = synthetic_data(seed=12)
+    model = APL(data.num_users, data.num_items, 8, loss_function=loss_fn)
+    tr = Trainer(model, data, optax.sgd(0.05),
+                 TrainConfig(batch_size=32, verbose=10**9))
+    s = tr.run_epoch()
+    assert np.isfinite(s["loss"]) and np.isfinite(s["d_loss"])
+    if loss_fn == "wgan":
+        # weight clipping applied
+        assert float(abs(np.asarray(tr.params["c"]["P"])).max()) <= 0.05 + 1e-6
+
+
+def test_apl_pretrained_protocol():
+    """The reference never trains APL from scratch — its generator is
+    initialized from a pretrained BPR checkpoint (APL.py:68-78). Replicate:
+    pretrain MF-BPR, hand the embeddings to APL's generator, continue."""
+    from acf_tpu.models.mf import MFBPR
+
+    data = synthetic_data(seed=13)
+    bpr = MFBPR(data.num_users, data.num_items, 8)
+    pre = Trainer(bpr, data, optax.adagrad(0.1),
+                  TrainConfig(batch_size=32, verbose=10**9))
+    for _ in range(20):
+        pre.run_epoch()
+    bpr_ndcg = pre.evaluate().at_k(10)[1]
+
+    model = APL(data.num_users, data.num_items, 8)
+    tr = Trainer(model, data, optax.sgd(0.05),
+                 TrainConfig(batch_size=32, verbose=10**9))
+    tr.params["g"] = dict(pre.params)  # checkpoint-mediated handoff
+    start = tr.evaluate().at_k(10)
+    assert abs(start[1] - bpr_ndcg) < 1e-5  # generator == pretrained BPR
+    p0 = np.asarray(tr.params["g"]["P"]).copy()
+    for _ in range(5):
+        s = tr.run_epoch()
+    assert np.isfinite(s["loss"]) and np.isfinite(s["d_loss"])
+    # both players actually move
+    assert np.abs(np.asarray(tr.params["g"]["P"]) - p0).max() > 0
+    after = tr.evaluate().at_k(10)
+    assert after[1] > 0.5 * bpr_ndcg  # adversarial phase keeps ranking sane
+
+
+def test_naive_baselines():
+    data = synthetic_data(seed=14)
+    for cls in (MostPopular, MostRecentlyVisit, MostFrequentlyVisit, AlreadyVisit):
+        model = cls(data.num_users, data.num_items, 8, data=data)
+        tr = Trainer(model, data, optax.sgd(0.1),
+                     TrainConfig(batch_size=32, verbose=10**9))
+        tr.run_epoch()  # no-op
+        res = tr.evaluate()
+        hr, ndcg, auc = res.at_k(10)
+        assert 0 <= hr <= 1
+        if cls is MostPopular:
+            # scores are exactly the global item counts
+            row = np.asarray(model.score_all(
+                tr.params, np.array([1, 2]), None))[0]
+            np.testing.assert_array_equal(
+                row, np.bincount(data.pairs_i, minlength=data.num_items))
+        if cls is AlreadyVisit:
+            # train items are excluded from candidates, so AlreadyVisit
+            # scores every candidate 0 → gt ties with everything
+            assert hr >= 0
