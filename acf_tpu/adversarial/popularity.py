@@ -119,6 +119,23 @@ class PopularityAdversarial(PairwiseModel):
     def loss(self, params, batch, key):
         return self.base.loss(params["base"], batch, key)
 
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            base_fs = self.base.factored_scorer()
+            if base_fs is None:
+                self._fs = None
+            else:
+                ur, tb = base_fs
+
+                def user_repr(params, users, hists):
+                    return ur(params["base"], users, hists)
+
+                def table(params):
+                    return tb(params["base"])
+
+                self._fs = (user_repr, table)
+        return self._fs
+
     # -- the fused epoch ----------------------------------------------------
     def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
                       dev=None):

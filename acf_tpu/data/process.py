@@ -1,0 +1,67 @@
+"""Offline preprocessing: raw interaction logs → leave-one-out .rating files.
+
+Re-implements reference process_data.py:5-52: 10-core filtering, 1-based
+category reindex, chronological sort, per-user leave-one-out split into
+``<name>.train.rating`` / ``<name>.test.rating`` TSVs (uid, iid, rating,
+timestamp), plus the ``-sort`` (dedup-free) and ``-sort-dup``
+(consecutive-duplicate-collapsed) variants.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def core_filter(df: pd.DataFrame, min_items: int = 10,
+                min_users: int = 10) -> pd.DataFrame:
+    """Keep users with ≥ ``min_items`` distinct items and items with ≥
+    ``min_users`` distinct users (reference Dataset.py:11-16 /
+    process_data semantics)."""
+    ucount = df.groupby("uid")["iid"].nunique()
+    icount = df.groupby("iid")["uid"].nunique()
+    df = df[df["uid"].map(ucount) >= min_items]
+    df = df[df["iid"].map(icount) >= min_users]
+    return df
+
+
+def collapse_consecutive_duplicates(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop rows repeating the previous item within a user's sequence
+    (the reference's ``-sort-dup`` variant, process_data.py:40-52)."""
+    df = df.sort_values(["uid", "timestamp"], kind="stable")
+    same = (df["uid"].values[1:] == df["uid"].values[:-1]) & \
+        (df["iid"].values[1:] == df["iid"].values[:-1])
+    keep = np.r_[True, ~same]
+    return df[keep]
+
+
+def leave_one_out_split(df: pd.DataFrame):
+    """(train_df, test_df): last interaction per user held out."""
+    df = df.sort_values(["uid", "timestamp"], kind="stable")
+    last = df.groupby("uid").tail(1)
+    train = df.drop(last.index)
+    return train, last
+
+
+def write_rating_files(df: pd.DataFrame, out_dir: str, name: str,
+                       reindex: bool = True, dedup: bool = False) -> None:
+    """Produce ``<name>.train.rating`` / ``<name>.test.rating``."""
+    df = df.copy()
+    if "rating" not in df.columns:
+        df["rating"] = 1
+    if "timestamp" not in df.columns:
+        df["timestamp"] = np.arange(len(df), dtype=np.int64)
+    if reindex:
+        df["uid"] = df["uid"].astype("category").cat.codes.values
+        df["iid"] = df["iid"].astype("category").cat.codes.values
+    if dedup:
+        df = collapse_consecutive_duplicates(df)
+    train, test = leave_one_out_split(df)
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["uid", "iid", "rating", "timestamp"]
+    train[cols].to_csv(os.path.join(out_dir, f"{name}.train.rating"),
+                       sep="\t", header=False, index=False)
+    test[cols].to_csv(os.path.join(out_dir, f"{name}.test.rating"),
+                      sep="\t", header=False, index=False)

@@ -63,6 +63,37 @@ def _positions_full(score_fn, params, users, hists, gt):
     return ge.sum(axis=1).astype(jnp.int32)  # [B]
 
 
+@partial(jax.jit, static_argnums=(0, 1, 7))
+def _positions_factored(user_repr_fn, table_fn, params, users, hists, gt,
+                        corr, interpret):
+    """Rank positions for dot-factored models via the fused Pallas kernel.
+
+    ``corr`` is the per-user invalid-item array (unique train items ∪ {gt},
+    0-padded) — counted over all items by the kernel, then subtracted here
+    with the same VPU dot formulation as the threshold so the gt cancels
+    exactly (see ops/ranking.py rounding note).
+    """
+    from acf_tpu.ops.ranking import rank_positions_dot
+
+    reprs = user_repr_fn(params, users, hists)  # [B, d]
+    table, bias = table_fn(params)
+    s_corr = jnp.einsum("bd,bcd->bc", reprs, table[corr])
+    if bias is not None:
+        s_corr = s_corr + bias[corr]
+    # The gt is always present (exactly once) in the correction array; take
+    # the threshold FROM s_corr so the gt's own correction cancels
+    # bit-exactly regardless of contraction order.
+    is_gt = corr == gt[:, None]
+    t = jnp.sum(jnp.where(is_gt, s_corr, 0.0), axis=1)
+    # the kernel masks the pad column and the gt column itself, so the
+    # correction only subtracts the user's (non-gt) train items
+    total = rank_positions_dot(reprs, table, t, bias=bias, gt=gt,
+                               interpret=interpret)
+    valid = (corr != 0) & ~is_gt
+    n_corr = jnp.sum((s_corr >= t[:, None]) & valid, axis=1)
+    return (total - n_corr.astype(jnp.float32)).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _positions_sampled(score_some_fn, params, users, hists, gt, negs):
     """Rank position of ``gt`` among sampled negatives
@@ -87,6 +118,10 @@ class FullRankEvaluator:
 
     def __init__(self, data: Interactions, batch_users: int = 512, K: int = 100,
                  eval_hist_len: Optional[int] = None):
+        # NOTE: histories are kept FULL here — sequence models slice their
+        # own window (hists[:, -maxlen:]) but train-item masking must see the
+        # whole history. ``eval_hist_len`` is accepted for backwards
+        # compatibility and ignored.
         self.K = K
         self.data = data
         users = data.eval_users()
@@ -97,14 +132,35 @@ class FullRankEvaluator:
         pad = (-n) % self.batch_users
         self._pad = pad
         users_p = np.concatenate([users, np.zeros(pad, dtype=np.int32)])
-        hl = eval_hist_len or data.max_hist_len
-        hists = data.hist[users_p][:, -hl:] if hl else data.hist[users_p]
+        hists = data.hist[users_p]
         self._users_d = jnp.asarray(users_p)
         self._hists_d = jnp.asarray(hists)
         self._gt_d = jnp.asarray(data.test_item[users_p])
         self._negs_d = (jnp.asarray(data.test_negatives[users_p])
                         if data.test_negatives is not None else None)
         self._num_neg = data.num_eval_candidates()[users]
+        self._corr_d = None  # built lazily for the factored/Pallas path
+
+    def _corrections(self):
+        """[Up, C] per-user invalid-item array: unique train items ∪ {gt},
+        0-padded (0 is handled separately)."""
+        if self._corr_d is None:
+            users_p = np.asarray(self._users_d)
+            gts = np.asarray(self._gt_d)
+            hist = self.data.hist
+            rows = []
+            for u, gt in zip(users_p, gts):
+                s = set(hist[u].tolist())
+                s.discard(0)
+                if gt:
+                    s.add(int(gt))
+                rows.append(np.fromiter(s, dtype=np.int32, count=len(s)))
+            width = max((len(r) for r in rows), default=1)
+            arr = np.zeros((len(rows), max(width, 1)), dtype=np.int32)
+            for i, r in enumerate(rows):
+                arr[i, :len(r)] = r
+            self._corr_d = jnp.asarray(arr)
+        return self._corr_d
 
     def _tiles(self):
         n = self._users_d.shape[0]
@@ -123,6 +179,21 @@ class FullRankEvaluator:
         pos = np.concatenate(out)
         return pos[: len(self.users)]
 
+    def positions_factored(self, user_repr_fn: Callable, table_fn: Callable,
+                           params, interpret: Optional[bool] = None) -> np.ndarray:
+        """Rank positions via the fused Pallas counting kernel (models whose
+        scores factor as ``user_repr · item_table + bias``)."""
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        corr = self._corrections()
+        out = []
+        for users, hists, gt, s, e in self._tiles():
+            out.append(np.asarray(_positions_factored(
+                user_repr_fn, table_fn, params, users, hists, gt,
+                corr[s:e], interpret)))
+        pos = np.concatenate(out)
+        return pos[: len(self.users)]
+
     def positions_sampled(self, score_some_fn: Callable, params) -> np.ndarray:
         """Rank positions against the sampled negatives.
 
@@ -135,6 +206,17 @@ class FullRankEvaluator:
                 score_some_fn, params, users, hists, gt, self._negs_d[s:e])))
         pos = np.concatenate(out)
         return pos[: len(self.users)]
+
+    def evaluate_model(self, model, params) -> EvalResult:
+        """Evaluate a model, preferring its factored (Pallas) scorer when it
+        provides one via ``factored_scorer()``."""
+        fs = getattr(model, "factored_scorer", lambda: None)()
+        if fs is not None:
+            pos = self.positions_factored(fs[0], fs[1], params)
+            hr, ndcg, auc = metrics_from_position(pos, self._num_neg, self.K)
+            return EvalResult(hr=np.asarray(hr), ndcg=np.asarray(ndcg),
+                              auc=np.asarray(auc))
+        return self.evaluate(model.score_all, params)
 
     def evaluate(self, score_fn: Callable, params, sampled: bool = False) -> EvalResult:
         if sampled:

@@ -66,6 +66,14 @@ class PairwiseModel:
     def score_all(self, params, users, hists):
         raise NotImplementedError
 
+    def factored_scorer(self):
+        """(user_repr_fn, table_fn) when scores factor as
+        ``user_repr(params,u,h) · item_table + bias`` — enables the fused
+        Pallas rank-position kernel (acf_tpu.ops.ranking). None otherwise.
+        Implementations must cache the returned closures on the instance so
+        jit caches keyed on them stay warm."""
+        return None
+
 
 @dataclasses.dataclass(eq=False)
 class SequenceModel(PairwiseModel):

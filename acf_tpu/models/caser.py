@@ -197,3 +197,15 @@ class Caser(SequenceModel):
         seq = hists[:, -self.maxlen:]
         x = self._user_repr(params, seq, users, train=False)
         return self._item_scores(params, x, items)
+
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                seq = hists[:, -self.maxlen:]
+                return self._user_repr(params, seq, users, train=False)
+
+            def table(params):
+                return params["W2"], params["b2"]
+
+            self._fs = (user_repr, table)
+        return self._fs

@@ -61,3 +61,15 @@ class DREAM(SequenceModel):
         seq = hists[:, -self.maxlen:]
         h_last = self._hidden_states(params, seq)[:, -1, :]
         return jnp.einsum("bd,bmd->bm", h_last, params["emb"][items])
+
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                seq = hists[:, -self.maxlen:]
+                return self._hidden_states(params, seq)[:, -1, :]
+
+            def table(params):
+                return params["emb"], None
+
+            self._fs = (user_repr, table)
+        return self._fs

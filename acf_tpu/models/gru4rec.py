@@ -108,3 +108,19 @@ class GRU4Rec(SequenceModel):
         h_last = self._hidden_states(params, seq)[:, -1, :]
         return self._act(jnp.einsum("bd,bmd->bm", h_last, params["W"][items])
                          + params["b"][items])
+
+    def factored_scorer(self):
+        # relu/tanh final activations change tie structure, so the factored
+        # path is only rank-exact for the (default) linear activation
+        if self.final_act != "linear":
+            return None
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                seq = hists[:, -self.maxlen:]
+                return self._hidden_states(params, seq)[:, -1, :]
+
+            def table(params):
+                return params["W"], params["b"]
+
+            self._fs = (user_repr, table)
+        return self._fs

@@ -67,6 +67,17 @@ class IRGAN(PairwiseModel):
         return jnp.einsum("bd,bmd->bm", params["g"]["P"][users],
                           params["g"]["Q"][items])
 
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                return params["g"]["P"][users]
+
+            def table(params):
+                return params["g"]["Q"], None
+
+            self._fs = (user_repr, table)
+        return self._fs
+
     def loss(self, params, batch, key):  # generator BPR-proxy, for reporting
         users, pos, neg = batch
         g = params["g"]

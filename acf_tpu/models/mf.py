@@ -68,6 +68,17 @@ class MFBPR(PairwiseModel):
         q = params["Q"][items]  # [B, M, d]
         return jnp.einsum("bd,bmd->bm", p, q)
 
+
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                return params["P"][users]
+
+            def table(params):
+                return params["Q"], None
+
+            self._fs = (user_repr, table)
+        return self._fs
     # -- training loss ------------------------------------------------------
     def _clean_loss(self, params, users, pos, neg):
         pos_s, p, qp = self._pair_scores(params, users, pos)
@@ -148,6 +159,17 @@ class PointwiseMF(PairwiseModel):
     def score_some(self, params, users, hists, items):
         return jnp.einsum("bd,bmd->bm", params["P"][users], params["Q"][items])
 
+
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                return params["P"][users]
+
+            def table(params):
+                return params["Q"], None
+
+            self._fs = (user_repr, table)
+        return self._fs
     def adv_encoders(self):
         """AMF discriminates on the raw user/item tables
         (reference MF.py:80-98)."""

@@ -232,3 +232,15 @@ class SASRec(SequenceModel):
         seq = hists[:, -self.maxlen:]
         reprs = self.encode(params, seq, train=False)[:, -1, :]
         return jnp.einsum("bd,bmd->bm", reprs, params["item_emb"][items])
+
+    def factored_scorer(self):
+        if not hasattr(self, "_fs"):
+            def user_repr(params, users, hists):
+                seq = hists[:, -self.maxlen:]
+                return self.encode(params, seq, train=False)[:, -1, :]
+
+            def table(params):
+                return params["item_emb"], None
+
+            self._fs = (user_repr, table)
+        return self._fs

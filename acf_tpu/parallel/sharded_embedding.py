@@ -1,0 +1,141 @@
+"""Row-sharded embedding tables with explicit collective lookup.
+
+The reference keeps every table on one host (SURVEY.md §2.2 — no
+distribution anywhere). For pod-scale catalogs this module shards
+user/item tables row-wise over the mesh "model" axis and performs lookup
+inside ``shard_map``:
+
+  each device gathers the rows of the requested ids that live in its own
+  shard (masked to zero elsewhere) and a single ``psum`` over the model
+  axis assembles the full [B, d] activation — bandwidth B·d per device
+  over ICI, no host gathers.
+
+Gradients flow back as a purely local masked scatter-add (custom VJP on
+``sharded_lookup`` — see its docstring), so each device accumulates exactly
+its own rows' gradients — which also makes the APR/FGSM delta *local*:
+row-wise L2 normalization (evaluation_adv.py:202-203) touches only one shard
+per row, no cross-device exchange needed.
+
+Everything degenerates to a plain gather at mesh size 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_table(mesh: Mesh, table, axis: str = "model"):
+    """Pad rows to a multiple of the axis size and place row-sharded."""
+    m = mesh.shape[axis]
+    rows = table.shape[0]
+    pad = (-rows) % m
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+    return jax.device_put(table, NamedSharding(mesh, P(axis, None)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sharded_lookup(table_local, ids, axis: str = "model"):
+    """Lookup inside ``shard_map``: ``table_local`` is this device's row
+    shard [I_local, d]; ``ids`` are GLOBAL row ids [B] (replicated over the
+    model axis). Returns the full [B, d] activation on every device.
+
+    Carries a custom VJP: the naive ``grad`` through ``psum`` inside
+    shard_map double-counts by the model-axis size (psum's transpose is a
+    psum of the already-replicated cotangent). The true backward is a purely
+    LOCAL masked scatter-add — each device accumulates gradients only for
+    its own rows, with zero extra communication.
+    """
+    return _lookup_impl(table_local, ids, axis)
+
+
+def _local_window(i_local, ids, axis):
+    base = jax.lax.axis_index(axis) * i_local
+    local = ids - base
+    ok = (local >= 0) & (local < i_local)
+    return jnp.clip(local, 0, i_local - 1), ok
+
+
+def _lookup_impl(table_local, ids, axis):
+    idx, ok = _local_window(table_local.shape[0], ids, axis)
+    rows = jnp.where(ok[:, None], table_local[idx], 0.0)
+    return jax.lax.psum(rows, axis)
+
+
+def _lookup_fwd(table_local, ids, axis):
+    return _lookup_impl(table_local, ids, axis), (table_local.shape[0], ids)
+
+
+def _lookup_bwd(axis, res, ct):
+    i_local, ids = res
+    idx, ok = _local_window(i_local, ids, axis)
+    g = jnp.zeros((i_local, ct.shape[-1]), ct.dtype)
+    g = g.at[idx].add(jnp.where(ok[:, None], ct, 0.0))
+    return g, None
+
+
+sharded_lookup.defvjp(_lookup_fwd, _lookup_bwd)
+
+
+def row_normalize_local(g_local, eps: float = 1e-12):
+    """FGSM row normalization on a row shard — identical to the global
+    operation because rows are never split across devices."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(g_local), axis=-1, keepdims=True))
+    return g_local / jnp.maximum(norm, eps)
+
+
+def make_sharded_bpr_step(mesh: Mesh, eps: float = 0.0, reg_adv: float = 1.0,
+                          lr: float = 0.05):
+    """A fully-sharded (data × model) adversarial BPR train step built on
+    ``shard_map``: batch sharded over "data", tables row-sharded over
+    "model"; gradient reduction over "data" via psum; FGSM deltas computed
+    shard-locally. SGD update for self-containedness (the production path
+    uses the pjit trainer; this is the explicit-collectives reference
+    implementation and the multi-chip dry-run target)."""
+
+    def step(P_shard, Q_shard, users, pos, neg):
+        # inside shard_map: P_shard [U/m, d], Q_shard [I/m, d],
+        # users/pos/neg [B/dp] (sharded over "data", replicated over "model")
+        def loss_fn(tables):
+            Pl, Ql = tables
+            pu = sharded_lookup(Pl, users)
+            qp = sharded_lookup(Ql, pos)
+            qn = sharded_lookup(Ql, neg)
+            diff = jnp.clip(jnp.sum(pu * (qp - qn), -1), -80.0, 1e8)
+            return jnp.sum(jnp.logaddexp(0.0, -diff))
+
+        grads = jax.grad(loss_fn)((P_shard, Q_shard))
+        # data-parallel gradient reduction (sum over the batch shards)
+        gP = jax.lax.psum(grads[0], "data")
+        gQ = jax.lax.psum(grads[1], "data")
+
+        if eps > 0.0:
+            dP = eps * row_normalize_local(gP)
+            dQ = eps * row_normalize_local(gQ)
+
+            def adv_loss_fn(tables):
+                Pl, Ql = tables
+                pu = sharded_lookup(Pl + dP, users)
+                qp = sharded_lookup(Ql + dQ, pos)
+                qn = sharded_lookup(Ql + dQ, neg)
+                diff = jnp.clip(jnp.sum(pu * (qp - qn), -1), -80.0, 1e8)
+                return jnp.sum(jnp.logaddexp(0.0, -diff))
+
+            ag = jax.grad(adv_loss_fn)((P_shard, Q_shard))
+            gP = gP + reg_adv * jax.lax.psum(ag[0], "data")
+            gQ = gQ + reg_adv * jax.lax.psum(ag[1], "data")
+
+        return P_shard - lr * gP, Q_shard - lr * gQ
+
+    from jax import shard_map
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("model", None), P("model", None),
+                  P("data"), P("data"), P("data")),
+        out_specs=(P("model", None), P("model", None)),
+    ))

@@ -187,7 +187,7 @@ class Trainer:
         return jax.tree.map(float, jax.device_get(stats))
 
     def evaluate(self):
-        return self.evaluator.evaluate(self.model.score_all, self.params)
+        return self.evaluator.evaluate_model(self.model, self.params)
 
     def fit(self, epochs: Optional[int] = None, epoch_start: int = 0,
             tag: str = "", final: bool = True) -> dict:

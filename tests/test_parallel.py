@@ -1,0 +1,101 @@
+"""Sharding paths on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from acf_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from acf_tpu.parallel.sharded_embedding import (
+    make_sharded_bpr_step, shard_table, sharded_lookup,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(num_data=4, num_model=2)
+
+
+def test_sharded_lookup_matches_dense(mesh):
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((64, 16)).astype(np.float32)
+    ids = rng.integers(0, 64, size=24).astype(np.int32)
+    t_sh = shard_table(mesh, jnp.asarray(table))
+
+    fn = jax.jit(shard_map(
+        lambda t, i: sharded_lookup(t, i),
+        mesh=mesh, in_specs=(P("model", None), P()), out_specs=P()))
+    out = np.asarray(fn(t_sh, jnp.asarray(ids)))
+    np.testing.assert_allclose(out, table[ids], rtol=1e-6)
+
+
+def test_sharded_lookup_pads_ragged_table(mesh):
+    table = np.arange(30 * 4, dtype=np.float32).reshape(30, 4)  # 30 % 2 != 0
+    t_sh = shard_table(mesh, jnp.asarray(table))
+    assert t_sh.shape[0] == 30  # padded to 30? 30 is even; use 31
+    table = np.arange(31 * 4, dtype=np.float32).reshape(31, 4)
+    t_sh = shard_table(mesh, jnp.asarray(table))
+    assert t_sh.shape[0] == 32
+
+
+def test_sharded_bpr_step_matches_single_device(mesh):
+    rng = np.random.default_rng(1)
+    U, I, d, B = 32, 64, 8, 16
+    Pt = rng.standard_normal((U, d)).astype(np.float32) * 0.01
+    Qt = rng.standard_normal((I, d)).astype(np.float32) * 0.01
+    users = rng.integers(1, U, size=B).astype(np.int32)
+    pos = rng.integers(1, I, size=B).astype(np.int32)
+    neg = rng.integers(1, I, size=B).astype(np.int32)
+
+    # single-device oracle
+    def loss(tables):
+        Pl, Ql = tables
+        diff = jnp.clip((Pl[users] * (Ql[pos] - Ql[neg])).sum(-1), -80.0, 1e8)
+        return jnp.sum(jnp.logaddexp(0.0, -diff))
+
+    gP, gQ = jax.grad(loss)((jnp.asarray(Pt), jnp.asarray(Qt)))
+    want_P = Pt - 0.05 * np.asarray(gP)
+    want_Q = Qt - 0.05 * np.asarray(gQ)
+
+    step = make_sharded_bpr_step(mesh, eps=0.0, lr=0.05)
+    P_sh = shard_table(mesh, jnp.asarray(Pt))
+    Q_sh = shard_table(mesh, jnp.asarray(Qt))
+    with mesh:
+        P2, Q2 = step(P_sh, Q_sh, jnp.asarray(users), jnp.asarray(pos),
+                      jnp.asarray(neg))
+    np.testing.assert_allclose(np.asarray(P2), want_P, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Q2), want_Q, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_adversarial_step_runs(mesh):
+    rng = np.random.default_rng(2)
+    U, I, d, B = 32, 64, 8, 16
+    Pt = jnp.asarray(rng.standard_normal((U, d)).astype(np.float32) * 0.01)
+    Qt = jnp.asarray(rng.standard_normal((I, d)).astype(np.float32) * 0.01)
+    step = make_sharded_bpr_step(mesh, eps=0.5, reg_adv=1.0, lr=0.05)
+    with mesh:
+        P2, Q2 = step(shard_table(mesh, Pt), shard_table(mesh, Qt),
+                      jnp.asarray(rng.integers(1, U, B, dtype=np.int32)),
+                      jnp.asarray(rng.integers(1, I, B, dtype=np.int32)),
+                      jnp.asarray(rng.integers(1, I, B, dtype=np.int32)))
+    assert np.isfinite(np.asarray(P2)).all()
+    assert np.isfinite(np.asarray(Q2)).all()
+    # adversarial step actually moved params differently from clean
+    step0 = make_sharded_bpr_step(mesh, eps=0.0, lr=0.05)
+    with mesh:
+        P3, _ = step0(shard_table(mesh, Pt), shard_table(mesh, Qt),
+                      jnp.asarray(rng.integers(1, U, B, dtype=np.int32)),
+                      jnp.asarray(rng.integers(1, I, B, dtype=np.int32)),
+                      jnp.asarray(rng.integers(1, I, B, dtype=np.int32)))
+    assert np.asarray(jnp.abs(P2 - P3)).max() > 0
+
+
+def test_shard_params_and_batch_placement(mesh):
+    params = {"P": jnp.zeros((4096, 8)), "small": jnp.zeros((8,))}
+    placed = shard_params(mesh, params)
+    assert placed["P"].sharding.spec == P("model", None)
+    batch = shard_batch(mesh, (jnp.zeros((16,), jnp.int32),))
+    assert batch[0].sharding.spec == P("data")
