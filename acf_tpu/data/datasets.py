@@ -212,12 +212,22 @@ def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
 
 def _load_two_col(path: str) -> pd.DataFrame:
     """`uid iid` space-separated, chronological per user (Video/Beauty/Steam
-    .txt; reference utils.py:62-72)."""
+    .txt; reference utils.py:62-72). Uses the native C++ parser when
+    available (acf_tpu.data.native_io), pandas otherwise."""
+    from acf_tpu.data import native_io
+    parsed = native_io.parse_two_col(path)
+    if parsed is not None:
+        return pd.DataFrame({"uid": parsed[0], "iid": parsed[1]})
     return pd.read_csv(path, sep=" ", names=["uid", "iid"])
 
 
 def _load_rating_tsv(path: str) -> pd.DataFrame:
     """`uid\\tiid\\trating\\ttimestamp` (reference utils.py:54-60)."""
+    from acf_tpu.data import native_io
+    parsed = native_io.parse_rating(path)
+    if parsed is not None:
+        u, i, r, t = parsed
+        return pd.DataFrame({"uid": u, "iid": i, "rating": r, "timestamp": t})
     return pd.read_csv(path, sep="\t", names=["uid", "iid", "rating", "timestamp"])
 
 

@@ -117,6 +117,15 @@ class Caser(SequenceModel):
         with > L train items contributes windows [i, i+L) with the following
         ``target_len`` items as targets (zero-padded at the sequence end)."""
         L, T = self.maxlen, self.target_len
+        from acf_tpu.data import native_io
+        nat = native_io.caser_windows(data.hist, data.hist_len, L, T)
+        if nat is not None and len(nat[0]) > 0:
+            users, seqs_a, tgts_a = nat
+            return {
+                "win_seq": jnp.asarray(seqs_a),
+                "win_user": jnp.asarray(users),
+                "win_pos": jnp.asarray(tgts_a),
+            }
         seqs, us, tgts = [], [], []
         for u in range(1, data.num_users):
             n = int(data.hist_len[u])
