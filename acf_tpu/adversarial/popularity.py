@@ -75,6 +75,11 @@ class PopularityAdversarial(PairwiseModel):
     weight: float = 0.001       # reference --w
     pop_percent: float = 0.2    # reference --pp
     disc_lr: float = 0.001      # keras Adam default
+    # True = FastAdversarialMF semantics (keras_adversarial
+    # AdversarialOptimizerSimultaneous, reference FastAdversarialMF.py:64-74):
+    # both players step from the SAME pre-update parameters. False = the
+    # AMF/ABPR sequential protocol (disc first, reference MF.py:118-190).
+    simultaneous: bool = False
 
     def __post_init__(self):
         assert hasattr(self.base, "adv_encoders"), (
@@ -199,7 +204,10 @@ class PopularityAdversarial(PairwiseModel):
                 d_up, d_opt = disc_opt.update(d_grads, opt["disc"], prm["disc"])
                 disc_new = optax.apply_updates(prm["disc"], d_up)
 
-                # 2. recommender step against the updated discriminator
+                # 2. recommender step — against the updated discriminator
+                # (sequential, AMF) or the pre-update one (simultaneous,
+                # FastAdversarialMF)
+                disc_for_g = prm["disc"] if self.simultaneous else disc_new
                 adv_ids = {
                     "u": jnp.concatenate([
                         sample_ids(ks[5], data["pop_u"], half),
@@ -210,7 +218,7 @@ class PopularityAdversarial(PairwiseModel):
                 }
                 (_, aux), g_grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(
-                    prm["base"], disc_new, batch, adv_ids, ks[7])
+                    prm["base"], disc_for_g, batch, adv_ids, ks[7])
                 g_up, b_opt = optimizer.update(g_grads, opt["base"], prm["base"])
                 base_new = optax.apply_updates(prm["base"], g_up)
 

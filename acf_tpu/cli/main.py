@@ -87,8 +87,11 @@ def make_model(name, data, args):
         return adv, adagrad, clean
     if name in ("amf", "amf2"):
         base = PointwiseMF(U, I, d)
+        # amf2 = FastAdversarialMF: simultaneous two-player updates
+        # (reference FastAdversarialMF.py:64-74)
         return PopularityAdversarial(U, I, d, base=base, weight=args.w,
-                                     pop_percent=args.pp), adam, None
+                                     pop_percent=args.pp,
+                                     simultaneous=(name == "amf2")), adam, None
     if name == "abpr":
         base = MFBPR(U, I, d)
         return PopularityAdversarial(U, I, d, base=base, weight=args.w,
