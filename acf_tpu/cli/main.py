@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--eps_dense", type=float, default=0.0)
     p.add_argument("--eps_conv", type=float, default=0.0)
     p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
+    p.add_argument("--dns", type=int, default=1,
+                   help="dynamic negative sampling: candidates per positive")
+    p.add_argument("--pre", type=str, default="",
+                   help="npz checkpoint to warm-start matching params from")
     p.add_argument("--w", type=float, default=0.001,
                    help="popularity-discriminator weight")
     p.add_argument("--pp", type=float, default=0.2, help="popularity percent")
@@ -79,11 +83,11 @@ def make_model(name, data, args):
     if name == "mf":
         return PointwiseMF(U, I, d), adam, None
     if name in ("bpr", "bpr-tf"):
-        return MFBPR(U, I, d, reg=args.reg), adagrad, None
+        return MFBPR(U, I, d, reg=args.reg, dns=args.dns), adagrad, None
     if name == "apr":
-        clean = MFBPR(U, I, d, reg=args.reg)
+        clean = MFBPR(U, I, d, reg=args.reg, dns=args.dns)
         adv = MFBPR(U, I, d, reg=args.reg, adversarial=True, eps=args.eps,
-                    reg_adv=args.reg_adv, adv_mode=args.adv)
+                    reg_adv=args.reg_adv, adv_mode=args.adv, dns=args.dns)
         return adv, adagrad, clean
     if name in ("amf", "amf2"):
         base = PointwiseMF(U, I, d)
@@ -155,6 +159,7 @@ def main(argv=None):
         epochs = 1  # naive baselines need one pass (run.py:275-276)
     cfg = TrainConfig(batch_size=args.bs, epochs=epochs,
                       verbose=args.verbose, topk=args.topk,
+                      eval_sampled=(args.eval_mode == "sample"),
                       ckpt_every=args.ckpt,
                       ckpt_path=(f"Pretrain/{args.data}/{args.model}"
                                  if args.ckpt else None),
@@ -165,6 +170,9 @@ def main(argv=None):
                              adv_epoch=args.adv_epoch, writer=writer)
     else:
         trainer = Trainer(model, data, optimizer, cfg, writer)
+        if args.pre:
+            loaded = trainer.load_pretrain(args.pre)
+            writer.line(f"Loaded pretrained leaves: {loaded}")
         best = trainer.fit()
     writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
                 % (best.get("epoch", -1), best.get("hr", 0.0),

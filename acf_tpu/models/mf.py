@@ -43,6 +43,8 @@ class MFBPR(PairwiseModel):
     reg_adv: float = 1.0
     adv_mode: str = "grad"  # "grad" (FGSM) or "random" (evaluation_adv.py:182-189)
     init_std: float = 0.01
+    dns: int = 1  # >1 = hardest-of-k dynamic negative sampling
+                  # (reference evaluation_adv.py:349-367)
 
     def init_params(self, key):
         kp, kq = jax.random.split(key)

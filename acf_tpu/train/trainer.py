@@ -46,6 +46,8 @@ class TrainConfig:
     ckpt_path: Optional[str] = None
     seed: int = 2019
     eval_batch_users: int = 512
+    eval_sampled: bool = False  # rank against sampled negatives
+                                # (reference --eval_mode sample)
     membership_len: Optional[int] = None  # cap on hist cols used for rejection
 
 
@@ -55,7 +57,12 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
     ``data`` is a dict of device arrays: pairs_u [N], pairs_i [N],
     hist [U, L]. The whole epoch (shuffle → sample negatives → grad step ×
     num_batches) is a single XLA computation.
+
+    Supports DNS (dynamic negative sampling, ``model.dns > 1``): sample
+    ``dns`` candidates per positive and keep the one the current model
+    scores highest (reference evaluation_adv.py:349-367).
     """
+    dns = getattr(model, "dns", 1)
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(carry, data, key):
@@ -71,7 +78,16 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
             kn, kl = jax.random.split(kk)
             u = data["pairs_u"][idx]
             pos = data["pairs_i"][idx]
-            neg = uniform_negatives(kn, data["hist"][u], model.num_items)
+            hist_rows = data["hist"][u]
+            if dns <= 1:
+                neg = uniform_negatives(kn, hist_rows, model.num_items)
+            else:
+                cands = jnp.stack(
+                    [uniform_negatives(k, hist_rows, model.num_items)
+                     for k in jax.random.split(kn, dns)], axis=1)  # [B, dns]
+                scores = model.score_some(prm, u, hist_rows, cands)
+                neg = jnp.take_along_axis(
+                    cands, jnp.argmax(scores, axis=1)[:, None], axis=1)[:, 0]
             (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 prm, (u, pos, neg), kl)
             updates, opt = optimizer.update(grads, opt, prm)
@@ -187,7 +203,30 @@ class Trainer:
         return jax.tree.map(float, jax.device_get(stats))
 
     def evaluate(self):
+        if self.cfg.eval_sampled:
+            return self.evaluator.evaluate(self.model.score_some, self.params,
+                                           sampled=True)
         return self.evaluator.evaluate_model(self.model, self.params)
+
+    def load_pretrain(self, path: str):
+        """Copy matching leaves from a checkpoint into the current params —
+        the reference's ``load_pre_train`` by-layer-name handoff
+        (BPR.py:59-65, IRGAN.py:29-34). Leaves present in the checkpoint
+        with matching shape are loaded; everything else keeps its init."""
+        data = dict(np.load(path if path.endswith(".npz") else path + ".npz"))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
+        leaves = []
+        loaded = []
+        for p, leaf in flat:
+            name = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                            for q in p)
+            if name in data and data[name].shape == leaf.shape:
+                leaves.append(jnp.asarray(data[name], leaf.dtype))
+                loaded.append(name)
+            else:
+                leaves.append(leaf)
+        self.params = jax.tree_util.tree_unflatten(treedef, leaves)
+        return loaded
 
     def fit(self, epochs: Optional[int] = None, epoch_start: int = 0,
             tag: str = "", final: bool = True) -> dict:

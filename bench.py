@@ -4,16 +4,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference's APR epoch on single-core CPU — ~994k pairs in
 ~3.7 s train time on ml-1m (BASELINE.md "ml-1m APR" row) ≈ 268k examples/s,
-with batch generation (~13.9 s/epoch) excluded to be maximally generous to
-the reference. Here sampling + FGSM + update all run on device and are
-*included* in the measured time.
+with its ~13.9 s/epoch batch generation excluded to be maximally generous to
+the reference. Here sampling + FGSM + optimizer update all run on device and
+are *included* in the measured time.
 """
 
 import json
+import os
 import time
 
 import jax
-import optax
+
+# persistent compile cache: the driver re-runs this every round
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/acf_tpu_xla"))
+
+import optax  # noqa: E402
 
 
 def main():
