@@ -208,6 +208,21 @@ class Trainer:
                                            sampled=True)
         return self.evaluator.evaluate_model(self.model, self.params)
 
+    def save_checkpoint(self, path: str):
+        """Full train state: params + optimizer slots + RNG key (enables
+        bit-exact resume, unlike the reference's embeddings-only Saver,
+        evaluation_adv.py:235)."""
+        save_params(path, {"params": self.params, "opt": self.opt_state,
+                           "key": self.key})
+
+    def restore_checkpoint(self, path: str):
+        from acf_tpu.train.checkpoint import load_params
+        like = {"params": self.params, "opt": self.opt_state, "key": self.key}
+        state = load_params(path, like)
+        self.params = state["params"]
+        self.opt_state = state["opt"]
+        self.key = jnp.asarray(state["key"])
+
     def load_pretrain(self, path: str):
         """Copy matching leaves from a checkpoint into the current params —
         the reference's ``load_pre_train`` by-layer-name handoff
