@@ -51,6 +51,9 @@ def build_parser():
     p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
     p.add_argument("--dns", type=int, default=1,
                    help="dynamic negative sampling: candidates per positive")
+    p.add_argument("--sparse", action="store_true",
+                   help="row-space sparse Adagrad step for bpr/apr "
+                        "(identical trajectory, touched-rows-only updates)")
     p.add_argument("--pre", type=str, default="",
                    help="npz checkpoint to warm-start matching params from")
     p.add_argument("--w", type=float, default=0.001,
@@ -83,8 +86,18 @@ def make_model(name, data, args):
     if name == "mf":
         return PointwiseMF(U, I, d), adam, None
     if name in ("bpr", "bpr-tf"):
+        if args.sparse:
+            from acf_tpu.ops.sparse_step import SparseMFBPR
+            return SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr), adagrad, None
         return MFBPR(U, I, d, reg=args.reg, dns=args.dns), adagrad, None
     if name == "apr":
+        if args.sparse:
+            from acf_tpu.ops.sparse_step import SparseMFBPR
+            clean = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr)
+            adv = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+                              adversarial=True, eps=args.eps,
+                              reg_adv=args.reg_adv)
+            return adv, adagrad, clean
         clean = MFBPR(U, I, d, reg=args.reg, dns=args.dns)
         adv = MFBPR(U, I, d, reg=args.reg, adversarial=True, eps=args.eps,
                     reg_adv=args.reg_adv, adv_mode=args.adv, dns=args.dns)
