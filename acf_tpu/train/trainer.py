@@ -304,15 +304,18 @@ class Trainer:
         keeping params and optimizer slots — the reference does this via a
         graph rebuild plus checkpoint restore (run_adv.py:97-120)."""
         self.model = model
-        if model.batch_kind == "seq":
+        if hasattr(model, "make_epoch_fn"):
+            self.epoch_fn = model.make_epoch_fn(
+                self.optimizer, self.cfg.batch_size, self.num_batches,
+                self.dev)
+        elif model.batch_kind == "seq":
             self.epoch_fn = make_seq_epoch_fn(
                 model, self.optimizer, self.cfg.batch_size, self.num_batches)
         else:
             self.epoch_fn = make_pair_epoch_fn(
                 model, self.optimizer, self.cfg.batch_size, self.num_batches)
         self.evaluator = FullRankEvaluator(
-            self.data, batch_users=self.cfg.eval_batch_users,
-            eval_hist_len=getattr(model, "maxlen", None))
+            self.data, batch_users=self.cfg.eval_batch_users)
 
 
 def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,

@@ -1,0 +1,36 @@
+"""CLI surface regression: end-to-end tiny runs through acf_tpu.cli.main."""
+
+import os
+
+import numpy as np
+
+from acf_tpu.cli.main import main
+
+ARGS = ["--data", "video", "--path", "/root/reference/data", "--nrows", "2000",
+        "--epochs", "2", "--d", "8", "--bs", "64", "--maxlen", "5"]
+
+
+def test_cli_bpr(tmp_path):
+    best = main(ARGS + ["--model", "bpr", "--opath", str(tmp_path) + "/"])
+    assert best["epoch"] >= 0
+    outs = os.listdir(tmp_path)
+    assert any(f.endswith(".out") for f in outs)
+    assert any(f.endswith(".hr") for f in outs)
+
+
+def test_cli_apr_two_phase(tmp_path):
+    best = main(ARGS + ["--model", "apr", "--adv_epoch", "1",
+                        "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
+
+
+def test_cli_sparse_apr(tmp_path):
+    best = main(ARGS + ["--model", "apr", "--adv_epoch", "1", "--sparse",
+                        "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
+
+
+def test_cli_sampled_eval(tmp_path):
+    best = main(ARGS + ["--model", "bpr", "--eval_mode", "sample",
+                        "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
