@@ -202,6 +202,16 @@ class Trainer:
             (self.params, self.opt_state), self.dev, k)
         return jax.tree.map(float, jax.device_get(stats))
 
+    def profile_epoch(self, trace_dir: str):
+        """Run one epoch + one evaluation under the JAX profiler (XPlane
+        traces viewable in TensorBoard/Perfetto). The reference has no
+        profiler at all (SURVEY.md §5) — its only signal is wall-clock
+        prints."""
+        with jax.profiler.trace(trace_dir):
+            stats = self.run_epoch()
+            res = self.evaluate()
+        return stats, res
+
     def evaluate(self):
         if self.cfg.eval_sampled:
             return self.evaluator.evaluate(self.model.score_some, self.params,
