@@ -44,8 +44,12 @@ def _count_kernel(u_ref, e_ref, bias_ref, thresh_ref, gt_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # HIGHEST precision: TPU matmuls truncate f32 inputs to bf16 by default,
+    # which perturbs scores enough to flip rank positions vs the VPU-dot
+    # thresholds/corrections (observed: 92% of users off by a few ranks).
     scores = jnp.dot(u_ref[:], e_ref[:].T,
-                     preferred_element_type=jnp.float32)  # [B, T]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [B, T]
     scores = scores + bias_ref[:]  # [1, T] broadcast
     # mask padding columns of the ragged final tile, the pad item id 0, and
     # each user's gt column (the gt must contribute exactly 0 to its own
