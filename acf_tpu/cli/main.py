@@ -136,6 +136,11 @@ def make_model(name, data, args):
         return DRCF(U, I, d, maxlen=args.maxlen), adam, None
     if name == "caser":
         return Caser(U, I, d, maxlen=args.maxlen), adam, None
+    if name == "dsin":
+        from acf_tpu.models.dsin import DSIN
+        # sessions sized so sess_count*sess_len ≈ --maxlen
+        ls = max(args.maxlen // 5, 1)
+        return DSIN(U, I, d, sess_count=5, sess_len=ls), adam, None
     if name == "irgan":
         return IRGAN(U, I, d), optax.sgd(0.001), None
     if name == "apl":

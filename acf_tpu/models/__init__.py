@@ -11,3 +11,4 @@ from acf_tpu.models.apl import APL  # noqa: F401
 from acf_tpu.models.naive import (  # noqa: F401
     AlreadyVisit, MostFrequentlyVisit, MostPopular, MostRecentlyVisit,
 )
+from acf_tpu.models.dsin import DSIN  # noqa: F401

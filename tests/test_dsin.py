@@ -1,0 +1,52 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from acf_tpu.models.dsin import DSIN
+from acf_tpu.train import Trainer, TrainConfig
+from tests.test_sasrec import seq_data
+
+
+def make_model(data):
+    return DSIN(data.num_users, data.num_items, dim=16,
+                sess_count=2, sess_len=4)
+
+
+def test_shapes_and_scoring():
+    data = seq_data()
+    m = make_model(data)
+    assert m.maxlen == 8
+    params = m.init_params(jax.random.PRNGKey(0))
+    users = jnp.asarray([1, 2])
+    hists = jnp.asarray(data.hist[np.array([1, 2])])
+    scores = np.asarray(m.score_all(params, users, hists))
+    assert scores.shape == (2, data.num_items)
+    items = jnp.asarray([[3, 5], [2, 4]])
+    some = np.asarray(m.score_some(params, users, hists, items))
+    for b in range(2):
+        np.testing.assert_allclose(some[b], scores[b, np.asarray(items)[b]],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dsin_trains():
+    data = seq_data()
+    m = make_model(data)
+    tr = Trainer(m, data, optax.adam(3e-3),
+                 TrainConfig(batch_size=16, verbose=10**9))
+    before = tr.evaluate().at_k(10)
+    for _ in range(20):
+        stats = tr.run_epoch()
+    after = tr.evaluate().at_k(10)
+    assert np.isfinite(stats["loss"])
+    assert after[1] > before[1], (before, after)
+
+
+def test_empty_history_is_finite():
+    data = seq_data()
+    m = make_model(data)
+    params = m.init_params(jax.random.PRNGKey(0))
+    hists = jnp.zeros((1, 8), jnp.int32)  # user with no history
+    s = np.asarray(m.score_some(params, jnp.asarray([1]), hists,
+                                jnp.asarray([[1, 2]])))
+    assert np.isfinite(s).all()
