@@ -1,0 +1,44 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acf_tpu.models.mf import MFBPR
+from acf_tpu.models.neumf import NeuMF
+from acf_tpu.ops.topk import recommend, topk_factored
+from tests.test_full_rank import make_data
+
+
+def test_topk_factored_matches_naive():
+    rng = np.random.default_rng(0)
+    b, d, I = 8, 8, 300
+    u = rng.standard_normal((b, d)).astype(np.float32)
+    E = rng.standard_normal((I, d)).astype(np.float32)
+    bias = rng.standard_normal(I).astype(np.float32)
+    hists = np.zeros((b, 5), np.int32)
+    for i in range(b):
+        hists[i] = rng.choice(np.arange(1, I), 5, replace=False)
+    s, it = topk_factored(jnp.asarray(u), jnp.asarray(E), jnp.asarray(hists),
+                          bias=jnp.asarray(bias), k=7, item_tile=128)
+    s, it = np.asarray(s), np.asarray(it)
+    scores = u @ E.T + bias[None]
+    scores[:, 0] = -np.inf
+    for i in range(b):
+        scores[i, hists[i]] = -np.inf
+        order = np.argsort(-scores[i])[:7]
+        np.testing.assert_array_equal(it[i], order)
+        np.testing.assert_allclose(s[i], scores[i][order], rtol=1e-5)
+
+
+def test_recommend_excludes_train_items():
+    data = make_data(seed=9)
+    for model in (MFBPR(data.num_users, data.num_items, 8),
+                  NeuMF(data.num_users, data.num_items, 8)):
+        params = model.init_params(jax.random.PRNGKey(1))
+        users = data.eval_users()[:6]
+        sc, it = recommend(model, params, data, users, k=5)
+        assert it.shape == (6, 5)
+        for row, u in enumerate(users):
+            train = set(int(x) for x in data.hist[u] if x)
+            for item in it[row]:
+                assert item not in train
+                assert item != 0
