@@ -14,9 +14,6 @@ dataset, and the epoch is a no-op (run.py:275-276 breaks after one epoch).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,7 +20,7 @@ import dataclasses
 import math
 import time
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
