@@ -109,6 +109,30 @@ class GRU4Rec(SequenceModel):
         return self._act(jnp.einsum("bd,bmd->bm", h_last, params["W"][items])
                          + params["b"][items])
 
+    # -- streaming session API (reference predict_next_batch,
+    # GRU4Rec.py:285-327): carry hidden state across events --------------
+    def init_state(self, batch_size: int):
+        return jnp.zeros((batch_size, self.dim))
+
+    def step_state(self, params, state, items, reset_mask=None):
+        """One streaming step: consume one item per session, return the
+        next-item scores over the catalog and the new hidden state.
+
+        Args:
+          state: [B, d] hidden state from the previous event.
+          items: [B] current item ids (0 = no event; state unchanged).
+          reset_mask: optional [B] bool — True resets that session's state
+            first (session change, GRU4Rec.py:314-318).
+        """
+        act = jnp.tanh if self.hidden_act == "tanh" else jax.nn.relu
+        if reset_mask is not None:
+            state = jnp.where(reset_mask[:, None], 0.0, state)
+        x = params["emb"][items]
+        new = gru_cell(params["gru"], x, state, activation=act)
+        state = jnp.where((items != 0)[:, None], new, state)
+        scores = self._act(state @ params["W"].T + params["b"])
+        return state, scores
+
     def factored_scorer(self):
         # relu/tanh final activations change tie structure, so the factored
         # path is only rank-exact for the (default) linear activation

@@ -42,6 +42,10 @@ class IRGAN(PairwiseModel):
     sample_lambda: float = 0.2    # pn mixture weight (IRGAN.py:83)
     lamda_d: float = 0.1          # / batch_size at runtime (IRGAN.py:20)
     lamda_g: float = 0.0
+    # True = DIS2/train2 variant (IRGAN.py:58-68, 277-343): the
+    # discriminator trains on pairwise softplus(pos − G-sampled neg)
+    # instead of pointwise sigmoid CE.
+    pairwise_d: bool = False
 
     def init_params(self, key):
         ks = jax.random.split(key, 4)
@@ -106,6 +110,13 @@ class IRGAN(PairwiseModel):
                            + jnp.sum(jnp.square(qi)) / 2)
             return jnp.mean(ce) + reg
 
+        def d_pair_loss_fn(d_params, users, pos, neg):
+            """DIS2: sum softplus(-(D(u,pos) − D(u,neg))) per coordinate
+            (IRGAN.py:318-326 keeps the element-wise difference)."""
+            pu = d_params["P"][users]
+            diff = pu * (d_params["Q"][pos] - d_params["Q"][neg])
+            return jnp.sum(jnp.logaddexp(0.0, -diff))
+
         def g_loss_fn(g_params, d_params, users, items, reward):
             # -mean(log softmax_prob[i] * reward) + reg (IRGAN.py:194-198)
             logits = g_row_logits(g_params, users)  # [B, I]
@@ -132,13 +143,18 @@ class IRGAN(PairwiseModel):
                 pos = data["pairs_i"][idx]
                 # fake item ~ softmax(G(u)/T) via Gumbel-max (exact)
                 logits = g_row_logits(g_params, u) / self.temperature
-                fake = jnp.argmax(logits + _gumbel(kk, logits.shape), axis=-1)
-                users2 = jnp.concatenate([u, u])
-                items2 = jnp.concatenate([pos, fake.astype(jnp.int32)])
-                labels = jnp.concatenate([jnp.ones_like(u, jnp.float32),
-                                          jnp.zeros_like(u, jnp.float32)])
-                dl, grads = jax.value_and_grad(d_loss_fn)(
-                    d_params, users2, items2, labels)
+                fake = jnp.argmax(logits + _gumbel(kk, logits.shape),
+                                  axis=-1).astype(jnp.int32)
+                if self.pairwise_d:
+                    dl, grads = jax.value_and_grad(d_pair_loss_fn)(
+                        d_params, u, pos, fake)
+                else:
+                    users2 = jnp.concatenate([u, u])
+                    items2 = jnp.concatenate([pos, fake])
+                    labels = jnp.concatenate([jnp.ones_like(u, jnp.float32),
+                                              jnp.zeros_like(u, jnp.float32)])
+                    dl, grads = jax.value_and_grad(d_loss_fn)(
+                        d_params, users2, items2, labels)
                 up, d_os = d_opt.update(grads, d_os, d_params)
                 return (optax.apply_updates(d_params, up), d_os, g_params), dl
 

@@ -89,3 +89,12 @@ def test_naive_baselines():
             # train items are excluded from candidates, so AlreadyVisit
             # scores every candidate 0 → gt ties with everything
             assert hr >= 0
+
+
+def test_irgan_pairwise_discriminator():
+    data = synthetic_data(seed=15)
+    model = IRGAN(data.num_users, data.num_items, 8, pairwise_d=True)
+    tr = Trainer(model, data, optax.sgd(0.001),
+                 TrainConfig(batch_size=32, verbose=10**9))
+    s = tr.run_epoch()
+    assert np.isfinite(s["loss"]) and np.isfinite(s["d_loss"])

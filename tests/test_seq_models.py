@@ -82,3 +82,22 @@ def test_caser_windows():
         sub = ws[j].tolist()
         s = "".join(f"|{x}" for x in h.tolist())
         assert "".join(f"|{x}" for x in sub) in s
+
+
+def test_gru4rec_streaming_state_matches_scan():
+    import jax.numpy as jnp
+    data = seq_data()
+    m = MODELS["gru4rec"](data)
+    params = m.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 3, 4, 5, 6, 7]])
+    hs = m._hidden_states(params, seq)
+    state = m.init_state(1)
+    for t in range(8):
+        state, scores = m.step_state(params, state, seq[:, t])
+    np.testing.assert_allclose(np.asarray(state), np.asarray(hs[:, -1]),
+                               rtol=1e-5, atol=1e-6)
+    # session reset zeroes the state
+    state, _ = m.step_state(params, state, jnp.asarray([3]),
+                            reset_mask=jnp.asarray([True]))
+    fresh, _ = m.step_state(params, m.init_state(1), jnp.asarray([3]))
+    np.testing.assert_allclose(np.asarray(state), np.asarray(fresh), rtol=1e-6)
