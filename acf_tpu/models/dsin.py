@@ -119,22 +119,26 @@ class DSIN(SequenceModel):
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("b...s,bsd->b...d", probs, interests)
 
-    def _logits(self, params, users, seq, items):
-        """items [B] or [B, M] → matching logits."""
-        raw, evolved, sess_mask = self._interests(params, seq)
-        squeeze = items.ndim == 1
-        it = items[:, None] if squeeze else items  # [B, M]
-        item_e = params["item_emb"][it]  # [B, M, d]
+    def _head(self, params, users, interests, items):
+        """Score ``items`` [B, M] given precomputed session interests."""
+        raw, evolved, sess_mask = interests
+        item_e = params["item_emb"][items]  # [B, M, d]
         u_raw = self._activation_pool(raw, sess_mask, params["act_w1"], item_e)
         u_ev = self._activation_pool(evolved, sess_mask, params["act_w2"], item_e)
-        m = it.shape[1]
         u_e = jnp.broadcast_to(params["user_emb"][users][:, None, :],
                                item_e.shape)
         vec = jnp.concatenate([u_e, item_e, u_raw, u_ev], axis=-1)
         h = jax.nn.relu(dense(params["dnn1"], vec))
         h = jax.nn.relu(dense(params["dnn2"], h))
         h = jax.nn.relu(dense(params["dnn3"], h))
-        out = dense(params["out"], h)[..., 0]  # [B, M]
+        return dense(params["out"], h)[..., 0]  # [B, M]
+
+    def _logits(self, params, users, seq, items):
+        """items [B] or [B, M] → matching logits."""
+        interests = self._interests(params, seq)
+        squeeze = items.ndim == 1
+        it = items[:, None] if squeeze else items  # [B, M]
+        out = self._head(params, users, interests, it)
         return out[:, 0] if squeeze else out
 
     # ------------------------------------------------------------------
@@ -161,10 +165,11 @@ class DSIN(SequenceModel):
         n_chunks = -(-self.num_items // c)
         items = jnp.arange(n_chunks * c, dtype=jnp.int32).reshape(n_chunks, c)
         items = jnp.minimum(items, self.num_items - 1)
+        interests = self._interests(params, seq)  # hoisted out of the chunks
 
         def chunk_fn(chunk_items):
             it = jnp.broadcast_to(chunk_items[None, :], (b, c))
-            return self._logits(params, users, seq, it)
+            return self._head(params, users, interests, it)
 
         out = jax.lax.map(chunk_fn, items)
         return out.transpose(1, 0, 2).reshape(b, n_chunks * c)[:, :self.num_items]
