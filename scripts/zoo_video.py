@@ -79,8 +79,9 @@ def main():
         t0 = time.time()
         tr = Trainer(model, data, opt, cfg,
                      OutputWriter(args.out, f"video_{name}"))
-        if name == "apl":
+        if name in ("apl", "irgan"):
             # reference protocol: generator warm-started from trained BPR
+            # (APL.py:68-78, IRGAN.py:29-34)
             pre = Trainer(MFBPR(data.num_users, data.num_items, 64), data,
                           optax.adagrad(0.05, initial_accumulator_value=0.1),
                           TrainConfig(batch_size=512, epochs=0))
