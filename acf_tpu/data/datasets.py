@@ -205,6 +205,26 @@ def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
     return negs
 
 
+def _load_negative_file(path: str, num_users: int, eval_users: np.ndarray):
+    """HeDataset ``.test.negative`` format (reference Dataset.py:161-172):
+    one line per test user (file order = user order), first field ignored,
+    remaining tab-separated fields are the negative item ids (+1 applied to
+    match the loader's id shift)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) > 1:
+                rows.append([int(x) + 1 for x in parts[1:]])
+    if not rows:
+        return None
+    k = min(len(r) for r in rows)
+    negs = np.zeros((num_users, k), dtype=np.int32)
+    for u, r in zip(eval_users, rows):
+        negs[u] = r[:k]
+    return negs
+
+
 # ---------------------------------------------------------------------------
 # File-format loaders (reference utils.py:44-79, Dataset.py HeDataset/
 # OriginalDataset)
@@ -284,7 +304,12 @@ def load_dataset(
         return _from_df(df[["uid", "iid", "timestamp"]])
 
     # `<name>.train.rating` / `<name>.test.rating` pairs with pre-assigned ids
-    # (reference OriginalDataset, Dataset.py:226-327). Ids are used as-is.
+    # (reference OriginalDataset/HeDataset, Dataset.py:112-327). Ids used
+    # as-is. A trailing "-pre" forces this branch for names that would
+    # otherwise hit a .txt alias (e.g. "Video-pre" reads the presplit
+    # Video.*.rating files).
+    if name.endswith("-pre"):
+        name = name[:-4]
     train_p = os.path.join(data_dir, f"{name}.train.rating")
     test_p = os.path.join(data_dir, f"{name}.test.rating")
     if os.path.exists(train_p) and os.path.exists(test_p):
@@ -301,8 +326,17 @@ def load_dataset(
         order_fix = np.zeros(len(df), dtype=np.int64)
         order_fix[n_train:] = np.iinfo(np.int64).max // 2
         df["timestamp"] = order_fix + np.arange(len(df))
-        return interactions_from_frame(
-            df, reindex=False, num_negatives=want_negs,
+        out = interactions_from_frame(
+            df, reindex=False,
+            num_negatives=0 if os.path.exists(
+                os.path.join(data_dir, f"{name}.test.negative")) else want_negs,
             max_hist_len=max_hist_len)
+        # Pre-sampled negatives file (reference HeDataset, Dataset.py:161-172:
+        # per line "(u,gt)\tneg1\tneg2...", one line per test user in order).
+        neg_p = os.path.join(data_dir, f"{name}.test.negative")
+        if os.path.exists(neg_p):
+            out.test_negatives = _load_negative_file(
+                neg_p, out.num_users, out.eval_users())
+        return out
 
     raise ValueError(f"Unknown dataset {name!r} (looked in {data_dir})")

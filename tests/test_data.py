@@ -94,3 +94,31 @@ def test_load_video_subset():
     # every eval user's gt is a valid item id
     assert (d.test_item[users] >= 1).all()
     assert (d.test_item[users] < d.num_items).all()
+
+
+def test_presplit_rating_pair_and_negative_file(tmp_path):
+    # build a tiny presplit dataset in OriginalDataset format (0-based ids)
+    train = "\n".join(f"{u}\t{i}\t1\t{t}" for t, (u, i) in enumerate(
+        [(0, 3), (0, 4), (0, 5), (1, 6), (1, 7), (2, 3), (2, 8)]))
+    test = "0\t9\t1\t100\n1\t5\t1\t100\n2\t6\t1\t100\n"
+    (tmp_path / "toy.train.rating").write_text(train + "\n")
+    (tmp_path / "toy.test.rating").write_text(test)
+    d = load_dataset("toy", str(tmp_path))
+    # ids shifted +1: user 0 -> 1 etc.
+    assert d.test_item[1] == 10 and d.test_item[2] == 6 and d.test_item[3] == 7
+    np.testing.assert_array_equal(sorted(d.hist[1][d.hist[1] > 0]), [4, 5, 6])
+
+    # with a .test.negative file the sampled negatives come from the file
+    (tmp_path / "toy.test.negative").write_text(
+        "(0,9)\t1\t2\n(1,5)\t3\t4\n(2,6)\t5\t7\n")
+    d2 = load_dataset("toy", str(tmp_path), eval_mode="sample")
+    np.testing.assert_array_equal(d2.test_negatives[1], [2, 3])
+    np.testing.assert_array_equal(d2.test_negatives[2], [4, 5])
+    np.testing.assert_array_equal(d2.test_negatives[3], [6, 8])
+
+
+def test_video_pre_alias():
+    d = load_dataset("Video-pre", REF_DATA, max_hist_len=50)
+    # presplit Video files: 31k users, ids shifted by +1
+    assert d.num_users > 30000
+    assert d.num_pairs > 200000
