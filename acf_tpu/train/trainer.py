@@ -302,8 +302,14 @@ class Trainer:
                              % (k + 1, hr_k[k], ndcg_k[k], auc))
 
     def _table_norms(self):
-        p = self.params.get("P") if isinstance(self.params, dict) else None
-        q = self.params.get("Q") if isinstance(self.params, dict) else None
+        """(|P|, |Q|) for the epoch line (reference evaluation_adv.py:319-325);
+        falls back to the item table for sequence/GAN models."""
+        if not isinstance(self.params, dict):
+            return 0.0, 0.0
+        src = self.params.get("base", self.params.get("g", self.params))
+        p = src.get("P", src.get("user_emb")) if isinstance(src, dict) else None
+        q = src.get("Q", src.get("item_emb", src.get("emb"))) \
+            if isinstance(src, dict) else None
         np_ = float(jnp.linalg.norm(p)) if p is not None else 0.0
         nq = float(jnp.linalg.norm(q)) if q is not None else 0.0
         return np_, nq
