@@ -1,4 +1,4 @@
-"""Benchmark: APR adversarial training throughput on the Video dataset.
+"""Benchmark: APR adversarial training throughput (ml-1m-shaped workload).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -6,7 +6,10 @@ Baseline: the reference's APR epoch on single-core CPU — ~994k pairs in
 ~3.7 s train time on ml-1m (BASELINE.md "ml-1m APR" row) ≈ 268k examples/s,
 with its ~13.9 s/epoch batch generation excluded to be maximally generous to
 the reference. Here sampling + FGSM + optimizer update all run on device and
-are *included* in the measured time.
+are *included* in the measured time, on a synthetic dataset with ml-1m's
+exact shape (throughput is shape-determined; ml-1m's raw data is not
+fetchable in this environment — quality parity is measured on Video, see
+docs/PARITY.md).
 """
 
 import json
@@ -22,12 +25,30 @@ jax.config.update("jax_compilation_cache_dir",
 import optax  # noqa: E402
 
 
+def make_ml1m_shaped():
+    """Synthetic interactions with ml-1m's shape (6040 users, 3706 items,
+    ~994k train pairs — BASELINE.md): throughput depends only on shapes, and
+    the baseline figure is the reference's ml-1m APR train phase."""
+    import numpy as np
+    import pandas as pd
+
+    from acf_tpu.data import interactions_from_frame
+
+    rng = np.random.default_rng(0)
+    n = 994_000
+    df = pd.DataFrame({
+        "uid": rng.integers(1, 6041, size=n),
+        "iid": rng.integers(1, 3707, size=n),
+        "timestamp": np.arange(n, dtype=np.int64),
+    })
+    return interactions_from_frame(df, reindex=False, max_hist_len=512)
+
+
 def main():
-    from acf_tpu.data import load_dataset
     from acf_tpu.models.mf import MFBPR
     from acf_tpu.train.trainer import Trainer, TrainConfig
 
-    data = load_dataset("video", "/root/reference/data")
+    data = make_ml1m_shaped()
     model = MFBPR(data.num_users, data.num_items, 64, adversarial=True,
                   eps=0.5, reg_adv=1.0)
     opt = optax.adagrad(0.05, initial_accumulator_value=0.1)
