@@ -4,8 +4,8 @@ Flag set is the union of run.py:25-75, run_adv.py:15-54 and
 run_adv_ori.py:17-64; model names match the reference registry
 (run.py:124-201, run_adv_ori.py:100-215):
 
-  mf bpr apr amf abpr neumf aneumf sasrec asasrec asasrec2 gru4rec caser
-  dream drcf irgan apl pop mrv mfv av
+  mf bpr apr amf amf2 abpr neumf aneumf sasrec asasrec asasrec2 gru4rec
+  caser dream drcf dsin irgan apl pop mrv mfv av
 
 Two-phase adversarial staging (apr/asasrec/asasrec2) follows
 run_adv.py:97-120: clean training until --adv_epoch, then the adversarial
@@ -51,9 +51,27 @@ def build_parser():
     p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
     p.add_argument("--dns", type=int, default=1,
                    help="dynamic negative sampling: candidates per positive")
+    p.add_argument("--loss", type=str, default="",
+                   help="model loss variant: gru4rec bpr|top1|ce "
+                        "(GRU4Rec.py:100-123), apl log|wgan|hinge (APL.py:62)")
+    p.add_argument("--final_act", type=str, default="linear",
+                   choices=["linear", "relu", "tanh"],
+                   help="gru4rec output activation (GRU4Rec.py:92-98)")
+    p.add_argument("--hidden_act", type=str, default="tanh",
+                   choices=["tanh", "relu"],
+                   help="gru4rec cell activation")
+    p.add_argument("--sess_count", type=int, default=5,
+                   help="dsin: number of sessions S")
+    p.add_argument("--sess_len", type=int, default=0,
+                   help="dsin: items per session (0 = maxlen // sess_count)")
+    p.add_argument("--irgan_pair", action="store_true",
+                   help="irgan: pairwise discriminator (DIS2, IRGAN.py:277-343)")
     p.add_argument("--sparse", action="store_true",
                    help="row-space sparse Adagrad step for bpr/apr "
                         "(identical trajectory, touched-rows-only updates)")
+    p.add_argument("--dedup", type=str, default="matmul",
+                   choices=["matmul", "sort"],
+                   help="duplicate-row aggregation program for --sparse")
     p.add_argument("--pre", type=str, default="",
                    help="npz checkpoint to warm-start matching params from")
     p.add_argument("--w", type=float, default=0.001,
@@ -88,13 +106,16 @@ def make_model(name, data, args):
     if name in ("bpr", "bpr-tf"):
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
-            return SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr), adagrad, None
+            return SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+                                dedup=args.dedup), adagrad, None
         return MFBPR(U, I, d, reg=args.reg, dns=args.dns), adagrad, None
     if name == "apr":
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
-            clean = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr)
+            clean = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+                                dedup=args.dedup)
             adv = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+                              dedup=args.dedup,
                               adversarial=True, eps=args.eps,
                               reg_adv=args.reg_adv)
             return adv, adagrad, clean
@@ -129,7 +150,10 @@ def make_model(name, data, args):
                      eps_conv=args.eps_conv)
         return adv, optax.adam(0.001, b2=0.98), clean
     if name == "gru4rec":
-        return GRU4Rec(U, I, d, maxlen=args.maxlen), adam, None
+        return GRU4Rec(U, I, d, maxlen=args.maxlen,
+                       loss_type=args.loss or "bpr",
+                       final_act=args.final_act,
+                       hidden_act=args.hidden_act), adam, None
     if name in ("dream", "dream-tf"):
         return DREAM(U, I, d, maxlen=args.maxlen), adam, None
     if name == "drcf":
@@ -138,13 +162,14 @@ def make_model(name, data, args):
         return Caser(U, I, d, maxlen=args.maxlen), adam, None
     if name == "dsin":
         from acf_tpu.models.dsin import DSIN
-        # sessions sized so sess_count*sess_len ≈ --maxlen
-        ls = max(args.maxlen // 5, 1)
-        return DSIN(U, I, d, sess_count=5, sess_len=ls), adam, None
+        # sessions sized so sess_count*sess_len ≈ --maxlen unless given
+        ls = args.sess_len or max(args.maxlen // args.sess_count, 1)
+        return DSIN(U, I, d, sess_count=args.sess_count,
+                    sess_len=ls), adam, None
     if name == "irgan":
-        return IRGAN(U, I, d), optax.sgd(0.001), None
+        return IRGAN(U, I, d, pairwise_d=args.irgan_pair), optax.sgd(0.001), None
     if name == "apl":
-        return APL(U, I, d), optax.sgd(0.05), None
+        return APL(U, I, d, loss_function=args.loss or "log"), optax.sgd(0.05), None
     if name == "pop":
         return MostPopular(U, I, d, data=data), adam, None
     if name == "mrv":

@@ -8,8 +8,13 @@ per-step HBM traffic is ~6 full tables regardless of batch size.
 This step keeps everything in *row space*:
 
   * gradients are taken wrt the gathered rows [B, d] (closed under autodiff);
-  * duplicates are aggregated per unique id with a batch-sized scatter-add
-    (``jnp.unique`` with a static size under jit);
+  * duplicates are aggregated per unique id. Two interchangeable programs:
+    ``dedup="sort"`` uses ``jnp.unique`` (static size under jit) + a
+    batch-sized scatter-add; ``dedup="matmul"`` (default) is sort-free —
+    an equality matrix ``eq[i,j] = ids[i]==ids[j]`` gives first-occurrence
+    flags via ``argmax`` and aggregates duplicate gradients as one
+    [B,B]x[B,d] matmul on the MXU, so the hot path has no sort, no
+    data-dependent scatter-add, and no serialized lane shuffles;
   * Adagrad reads/writes only the touched rows (`.at[ids]` gather/scatter),
     reproducing ``optax.adagrad`` exactly (acc += g²; Δ = g·rsqrt(acc+eps));
   * the FGSM delta is computed in row space too — mathematically identical
@@ -41,6 +46,7 @@ class SparseMFBPR(MFBPR):
     lr: float = 0.05
     initial_acc: float = 0.1
     opt_eps: float = 1e-7  # optax.adagrad eps
+    dedup: str = "matmul"  # 'matmul' (sort-free, MXU) | 'sort' (jnp.unique)
 
     def init_opt_state(self, optimizer, params):
         return {
@@ -77,6 +83,50 @@ class SparseMFBPR(MFBPR):
             batches = sample_pair_epoch(k_perm, n, b, num_batches)
             step_keys = jax.random.split(k_steps, num_batches)
 
+            def dedup_sort(ids, size):
+                """jnp.unique program → (scatter ids, optimizer-space agg,
+                per-example FGSM delta rows)."""
+                uu, inv = jnp.unique(ids, size=size, fill_value=0,
+                                     return_inverse=True)
+
+                def agg(g):  # [N, d] example-grads → unique-slot grads
+                    return jnp.zeros((size, g.shape[-1])).at[inv].add(g)
+
+                def delta_rows(g, eps):
+                    return (eps * row_normalize(agg(g)))[inv]
+
+                return uu, agg, delta_rows
+
+            def dedup_matmul(ids, size):
+                """Sort-free program: duplicate aggregation as one MXU
+                matmul over the equality matrix ``eq[i,j]=ids[i]==ids[j]``
+                — every row of ``eq @ g`` is its duplicate-group's sum, so
+                (a) FGSM deltas normalize those rows directly, no
+                example→slot gather, and (b) optimizer updates keep only
+                first occurrences (argmax flags), scattering duplicates to
+                pad row 0 with a zero payload so row 0 stays bit-identical.
+                HIGHEST precision: the default TPU matmul truncates the
+                f32 gradients to bf16, breaking dense-trajectory parity."""
+                eq = (ids[:, None] == ids[None, :])
+                is_first = (jnp.argmax(eq, axis=1)
+                            == jnp.arange(size))[:, None]
+                su = jnp.where(is_first[:, 0], ids, 0)
+                eq_f = eq.astype(jnp.float32)
+
+                def group_sum(g):
+                    return jnp.dot(eq_f, g,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+                def agg(g):
+                    return jnp.where(is_first, group_sum(g), 0.0)
+
+                def delta_rows(g, eps):
+                    return eps * row_normalize(group_sum(g))
+
+                return su, agg, delta_rows
+
+            dedup = dedup_matmul if self.dedup == "matmul" else dedup_sort
+
             def step(c, xs):
                 prm, opt = c
                 idx, kk = xs
@@ -89,30 +139,20 @@ class SparseMFBPR(MFBPR):
                 qp = prm["Q"][pos]
                 qn = prm["Q"][neg]
 
-                # unique-id views (pad id 0 never collides with real ids)
-                uu, inv_u = jnp.unique(u, size=b, fill_value=0,
-                                       return_inverse=True)
+                # touched-row views (pad id 0 never collides with real ids)
                 items = jnp.concatenate([pos, neg])
-                ii, inv_i = jnp.unique(items, size=2 * b, fill_value=0,
-                                       return_inverse=True)
-
-                def agg_u(g):  # [B, d] example-grads → unique-row grads
-                    return jnp.zeros((b, g.shape[-1])).at[inv_u].add(g)
-
-                def agg_i(g2):  # [2B, d]
-                    return jnp.zeros((2 * b, g2.shape[-1])).at[inv_i].add(g2)
+                uu, agg_u, delta_u = dedup(u, b)
+                ii, agg_i, delta_i = dedup(items, 2 * b)
 
                 if self.adversarial:
                     # FGSM deltas from the clean loss, in row space
                     gc_pu, gc_qp, gc_qn = jax.grad(
                         lambda a, p_, n_: rows_bpr(a, p_, n_)[0],
                         argnums=(0, 1, 2))(pu, qp, qn)
-                    dP_rows = self.eps * row_normalize(agg_u(gc_pu))
-                    dQ_rows = self.eps * row_normalize(
-                        agg_i(jnp.concatenate([gc_qp, gc_qn])))
-                    d_pu = jax.lax.stop_gradient(dP_rows[inv_u])
-                    d_qp = jax.lax.stop_gradient(dQ_rows[inv_i[:b]])
-                    d_qn = jax.lax.stop_gradient(dQ_rows[inv_i[b:]])
+                    d_pu = jax.lax.stop_gradient(delta_u(gc_pu, self.eps))
+                    d_qi = jax.lax.stop_gradient(delta_i(
+                        jnp.concatenate([gc_qp, gc_qn]), self.eps))
+                    d_qp, d_qn = d_qi[:b], d_qi[b:]
                 else:
                     d_pu = d_qp = d_qn = jnp.zeros_like(pu)
 
@@ -123,7 +163,8 @@ class SparseMFBPR(MFBPR):
                 gP = agg_u(g_pu)                     # [B, d] rows for uu
                 gQ = agg_i(jnp.concatenate([g_qp, g_qn]))  # [2B, d] for ii
 
-                # sparse Adagrad (optax semantics) on touched rows only
+                # sparse Adagrad (optax semantics) on touched rows only;
+                # duplicate slots carry gP=0 at id 0 → acc/param no-ops
                 accP_rows = opt["accP"][uu] + jnp.square(gP)
                 P = prm["P"].at[uu].add(
                     -lr * gP * jax.lax.rsqrt(accP_rows + eps_opt))

@@ -30,6 +30,13 @@ def test_cli_sparse_apr(tmp_path):
     assert np.isfinite(best["ndcg"])
 
 
+def test_cli_gru4rec_variant(tmp_path):
+    best = main(ARGS + ["--model", "gru4rec", "--loss", "top1",
+                        "--final_act", "tanh",
+                        "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
+
+
 def test_cli_sampled_eval(tmp_path):
     best = main(ARGS + ["--model", "bpr", "--eval_mode", "sample",
                         "--opath", str(tmp_path) + "/"])

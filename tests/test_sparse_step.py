@@ -10,12 +10,14 @@ from acf_tpu.train import Trainer, TrainConfig
 from tests.test_trainer import synthetic_data
 
 
+@pytest.mark.parametrize("dedup", ["sort", "matmul"])
 @pytest.mark.parametrize("adversarial", [False, True])
-def test_sparse_matches_dense_epoch(adversarial):
+def test_sparse_matches_dense_epoch(adversarial, dedup):
     data = synthetic_data(seed=41)
     kw = dict(reg=0.01, adversarial=adversarial, eps=0.5, reg_adv=1.0)
     dense = MFBPR(data.num_users, data.num_items, 8, **kw)
-    sparse = SparseMFBPR(data.num_users, data.num_items, 8, lr=0.05, **kw)
+    sparse = SparseMFBPR(data.num_users, data.num_items, 8, lr=0.05,
+                         dedup=dedup, **kw)
     opt = optax.adagrad(0.05, initial_accumulator_value=0.1)
 
     td = Trainer(dense, data, opt, TrainConfig(batch_size=32, seed=5))
