@@ -125,13 +125,18 @@ class SASRec(SequenceModel):
 
     def encode(self, params, seq, train: bool = False, key=None):
         """[B, T] item ids → [B, T, d] sequence representations."""
+        x = params["item_emb"][seq] * math.sqrt(self.dim)  # √d scale (SASRecLayers.py:129-130)
+        return self.encode_core(params, x, seq != 0, train=train, key=key)
+
+    def encode_core(self, params, x, ids_mask, train: bool = False, key=None):
+        """Encoder from pre-assembled (√d-scaled) input embeddings — the
+        entry point for the explicit sharded path, where the item table is
+        row-sharded and lookups happen outside (parallel/sharded_embedding).
+        Only touches ``pos_emb``/``blocks``/``ln_f`` in ``params``."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        d = self.dim
-        t = seq.shape[1]
-        ids_mask = seq != 0  # [B, T]
+        t = x.shape[1]
         maskf = ids_mask[:, :, None].astype(jnp.float32)
-        x = params["item_emb"][seq] * math.sqrt(d)  # √d scale (SASRecLayers.py:129-130)
         x = x + params["pos_emb"][None, -t:, :]
         keys = jax.random.split(key, 1 + 3 * self.num_blocks)
         x = dropout(keys[0], x, self.dropout_rate, train)

@@ -139,3 +139,84 @@ def make_sharded_bpr_step(mesh: Mesh, eps: float = 0.0, reg_adv: float = 1.0,
                   P("data"), P("data"), P("data")),
         out_specs=(P("model", None), P("model", None)),
     ))
+
+
+def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
+    """Explicit shard_map adversarial SASRec step: the item-embedding table
+    row-sharded over "model" (``sharded_lookup`` psum assembly + local
+    scatter-add backward), encoder weights replicated, batch sharded over
+    "data".
+
+    Semantics per reference ``asasrec`` (SASRec.py:356-363): FGSM delta on
+    the item table only, from the no-dropout clean loss; the adversarial
+    term perturbs the *target* embeddings against the clean sequence
+    representation. Row normalization is shard-local (rows are never split).
+    Loss is sum-reduced and the update is SGD — this is the
+    explicit-collectives reference implementation and multi-chip dry-run
+    target; the production path is the GSPMD-jitted trainer with dropout
+    and Adam.
+    """
+    import math
+
+    d = model.dim
+    eps, reg_adv = model.eps, model.reg_adv
+    adversarial = model.adversarial
+
+    def pointwise_sum_loss(reprs, pos_e, neg_e, ist):
+        pos_logit = jnp.sum(pos_e * reprs, -1)
+        neg_logit = jnp.sum(neg_e * reprs, -1)
+        return (jnp.sum(jnp.logaddexp(0.0, -pos_logit) * ist)
+                + jnp.sum(jnp.logaddexp(0.0, neg_logit) * ist))
+
+    def step(item_shard, rest, seq, pos, neg):
+        b, t = seq.shape
+        ist = (pos != 0).astype(jnp.float32)
+
+        def lookup(tbl, ids):
+            return sharded_lookup(tbl, ids.reshape(-1)).reshape(b, t, d)
+
+        def clean_loss(tables):
+            item_local, rp = tables
+            x = lookup(item_local, seq) * math.sqrt(d)
+            reprs = model.encode_core(rp, x, seq != 0, train=False)
+            return pointwise_sum_loss(reprs, lookup(item_local, pos),
+                                      lookup(item_local, neg), ist)
+
+        # Replicated (P()) params need NO explicit gradient reduction: the
+        # transpose of replicate-then-use-in-data-varying-compute is a psum
+        # over "data", which shard_map's varying-axes tracking inserts
+        # automatically. The item shard's gradient comes through
+        # sharded_lookup's custom VJP (a purely local scatter), which
+        # bypasses that machinery — it alone is psum'd here.
+        g_item, g_rest = jax.grad(clean_loss)((item_shard, rest))
+        g_item = jax.lax.psum(g_item, "data")
+
+        if adversarial:
+            delta_local = jax.lax.stop_gradient(
+                eps * row_normalize_local(g_item))
+
+            def adv_loss(tables):
+                item_local, rp = tables
+                x = lookup(item_local, seq) * math.sqrt(d)
+                reprs = model.encode_core(rp, x, seq != 0, train=False)
+                tgt = item_local + delta_local
+                return pointwise_sum_loss(reprs, lookup(tgt, pos),
+                                          lookup(tgt, neg), ist)
+
+            ag_item, ag_rest = jax.grad(adv_loss)((item_shard, rest))
+            g_item = g_item + reg_adv * jax.lax.psum(ag_item, "data")
+            g_rest = jax.tree.map(lambda g, ag: g + reg_adv * ag,
+                                  g_rest, ag_rest)
+
+        new_item = item_shard - lr * g_item
+        new_rest = jax.tree.map(lambda p, g: p - lr * g, rest, g_rest)
+        return new_item, new_rest
+
+    from jax import shard_map
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("model", None), P(), P("data", None), P("data", None),
+                  P("data", None)),
+        out_specs=(P("model", None), P()),
+    ))

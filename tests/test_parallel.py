@@ -93,6 +93,69 @@ def test_sharded_adversarial_step_runs(mesh):
     assert np.asarray(jnp.abs(P2 - P3)).max() > 0
 
 
+def _sasrec_fixture(adversarial, I=64, U=32, d=8, B=16, T=6, seed=3):
+    from acf_tpu.models.sasrec import SASRec
+
+    rng = np.random.default_rng(seed)
+    model = SASRec(U, I, d, maxlen=T, num_blocks=1, adversarial=adversarial,
+                   eps=0.5, reg_adv=1.0)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    rest = {k: v for k, v in params.items() if k != "item_emb"}
+    seq = jnp.asarray(rng.integers(1, I, (B, T), dtype=np.int32))
+    pos = jnp.asarray(rng.integers(1, I, (B, T), dtype=np.int32))
+    neg = jnp.asarray(rng.integers(1, I, (B, T), dtype=np.int32))
+    return model, params["item_emb"], rest, seq, pos, neg
+
+
+def _sasrec_oracle_update(model, item, rest, seq, pos, neg, lr=1e-3):
+    """Single-device replica of make_sharded_sasrec_step's math."""
+    import math
+
+    ist = (pos != 0).astype(jnp.float32)
+
+    def loss(tables, delta=None):
+        it, rp = tables
+        x = it[seq] * math.sqrt(model.dim)
+        reprs = model.encode_core(rp, x, seq != 0, train=False)
+        tgt = it if delta is None else it + delta
+        pl_ = jnp.sum(tgt[pos] * reprs, -1)
+        nl = jnp.sum(tgt[neg] * reprs, -1)
+        return (jnp.sum(jnp.logaddexp(0.0, -pl_) * ist)
+                + jnp.sum(jnp.logaddexp(0.0, nl) * ist))
+
+    g_item, g_rest = jax.grad(loss)((item, rest))
+    if model.adversarial:
+        norm = jnp.sqrt(jnp.sum(jnp.square(g_item), -1, keepdims=True))
+        delta = model.eps * g_item / jnp.maximum(norm, 1e-12)
+        ag_item, ag_rest = jax.grad(lambda t: loss(t, delta))((item, rest))
+        g_item = g_item + model.reg_adv * ag_item
+        g_rest = jax.tree.map(lambda g, ag: g + model.reg_adv * ag,
+                              g_rest, ag_rest)
+    return (item - lr * g_item,
+            jax.tree.map(lambda p, g: p - lr * g, rest, g_rest))
+
+
+@pytest.mark.parametrize("adversarial", [False, True])
+def test_sharded_sasrec_step_matches_single_device(mesh, adversarial):
+    from acf_tpu.parallel.sharded_embedding import make_sharded_sasrec_step
+
+    model, item, rest, seq, pos, neg = _sasrec_fixture(adversarial)
+    want_item, want_rest = _sasrec_oracle_update(model, item, rest,
+                                                 seq, pos, neg)
+
+    step = make_sharded_sasrec_step(mesh, model, lr=1e-3)
+    with mesh:
+        got_item, got_rest = step(shard_table(mesh, item), rest,
+                                  seq, pos, neg)
+    np.testing.assert_allclose(np.asarray(got_item), np.asarray(want_item),
+                               rtol=2e-4, atol=1e-7)
+    flat_w, _ = jax.tree.flatten(want_rest)
+    flat_g, _ = jax.tree.flatten(got_rest)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=1e-7)
+
+
 def test_shard_params_and_batch_placement(mesh):
     params = {"P": jnp.zeros((4096, 8)), "small": jnp.zeros((8,))}
     placed = shard_params(mesh, params)
