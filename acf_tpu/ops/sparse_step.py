@@ -164,16 +164,18 @@ class SparseMFBPR(MFBPR):
                 gQ = agg_i(jnp.concatenate([g_qp, g_qn]))  # [2B, d] for ii
 
                 # sparse Adagrad (optax semantics) on touched rows only;
-                # duplicate slots carry gP=0 at id 0 → acc/param no-ops
+                # duplicate slots carry gP=0 at id 0 → acc/param no-ops.
+                # acc writes are scatter-ADDs (set(acc[rows]+g²) ≡ add(g²)
+                # at unique rows) so XLA can update every buffer in place.
                 accP_rows = opt["accP"][uu] + jnp.square(gP)
                 P = prm["P"].at[uu].add(
                     -lr * gP * jax.lax.rsqrt(accP_rows + eps_opt))
-                accP = opt["accP"].at[uu].set(accP_rows)
+                accP = opt["accP"].at[uu].add(jnp.square(gP))
 
                 accQ_rows = opt["accQ"][ii] + jnp.square(gQ)
                 Q = prm["Q"].at[ii].add(
                     -lr * gQ * jax.lax.rsqrt(accQ_rows + eps_opt))
-                accQ = opt["accQ"].at[ii].set(accQ_rows)
+                accQ = opt["accQ"].at[ii].add(jnp.square(gQ))
 
                 return ({"P": P, "Q": Q}, {"accP": accP, "accQ": accQ}), aux
 
