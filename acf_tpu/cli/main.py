@@ -74,6 +74,13 @@ def build_parser():
                    help="duplicate-row aggregation program for --sparse")
     p.add_argument("--pre", type=str, default="",
                    help="npz checkpoint to warm-start matching params from")
+    p.add_argument("--restore", type=str, default="",
+                   help="full train-state snapshot (params+opt+RNG) to "
+                        "resume from (reference --restore, run_adv.py:97-120)")
+    p.add_argument("--restore_epoch", type=int, default=0,
+                   help="epoch the --restore snapshot was taken at")
+    p.add_argument("--ckpt_dir", type=str, default="Pretrain",
+                   help="directory for periodic --ckpt snapshots")
     p.add_argument("--w", type=float, default=0.001,
                    help="popularity-discriminator weight")
     p.add_argument("--pp", type=float, default=0.2, help="popularity percent")
@@ -204,19 +211,25 @@ def main(argv=None):
                       verbose=args.verbose, topk=args.topk,
                       eval_sampled=(args.eval_mode == "sample"),
                       ckpt_every=args.ckpt,
-                      ckpt_path=(f"Pretrain/{args.data}/{args.model}"
+                      ckpt_path=(f"{args.ckpt_dir}/{args.data}/{args.model}"
                                  if args.ckpt else None),
                       seed=args.seed)
 
+    restore = (args.restore, args.restore_epoch) if args.restore else None
     if clean is not None:
         best = fit_two_phase(clean, model, data, optimizer, cfg,
-                             adv_epoch=args.adv_epoch, writer=writer)
+                             adv_epoch=args.adv_epoch, writer=writer,
+                             restore=restore)
     else:
         trainer = Trainer(model, data, optimizer, cfg, writer)
         if args.pre:
             loaded = trainer.load_pretrain(args.pre)
             writer.line(f"Loaded pretrained leaves: {loaded}")
-        best = trainer.fit()
+        if restore:
+            trainer.restore_checkpoint(restore[0])
+            best = trainer.fit(epoch_start=restore[1])
+        else:
+            best = trainer.fit()
     writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
                 % (best.get("epoch", -1), best.get("hr", 0.0),
                    best.get("ndcg", 0.0)))

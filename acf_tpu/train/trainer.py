@@ -284,7 +284,10 @@ class Trainer:
                     self.writer.predictions(f"{tag}.hr", res.hr[:, cfg.topk - 1])
                     self.writer.predictions(f"{tag}.ndcg", res.ndcg[:, cfg.topk - 1])
             if cfg.ckpt_every and cfg.ckpt_path and epoch % cfg.ckpt_every == 0:
-                save_params(f"{cfg.ckpt_path}-{epoch}", self.params)
+                # full train state (params + opt slots + RNG), so a crashed
+                # run resumes bit-exactly — richer than the reference's
+                # embeddings-only periodic Saver (evaluation_adv.py:303-306)
+                self.save_checkpoint(f"{cfg.ckpt_path}-{epoch}")
         # the reference writes the K=1..100 sweep only at the terminal epoch
         # (evaluation_adv.py:295-300) — not between APR phases
         if final and self.best["result"] is not None:
@@ -336,15 +339,33 @@ class Trainer:
 
 def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
                   config: TrainConfig, adv_epoch: int,
-                  writer: Optional[OutputWriter] = None, tag: str = "") -> dict:
+                  writer: Optional[OutputWriter] = None, tag: str = "",
+                  restore: Optional[tuple] = None) -> dict:
     """APR protocol (reference run_adv.py:56-120): train the clean model for
-    ``adv_epoch`` epochs, then continue adversarially to ``config.epochs``."""
+    ``adv_epoch`` epochs, then continue adversarially to ``config.epochs``.
+
+    ``restore=(path, epoch)`` resumes a crashed run from a full-state
+    snapshot (the reference's --restore is a path-convention Saver restore,
+    run_adv.py:97-120 / evaluation_adv.py:222-248): the snapshot is loaded
+    into whichever phase ``epoch`` falls in and training continues from
+    there.
+    """
     trainer = Trainer(clean_model, data, optimizer, config, writer)
-    trainer.fit(epochs=adv_epoch, tag=tag, final=False)
-    if config.ckpt_path:
-        save_params(config.ckpt_path + "-pretrain", trainer.params)
-    trainer.switch_model(adv_model)
-    best = trainer.fit(epochs=config.epochs, epoch_start=adv_epoch, tag=tag)
+    start = 0
+    if restore is not None and restore[1] < adv_epoch:
+        trainer.restore_checkpoint(restore[0])
+        start = restore[1]
+    if restore is None or restore[1] < adv_epoch:
+        trainer.fit(epochs=adv_epoch, epoch_start=start, tag=tag, final=False)
+        if config.ckpt_path:
+            save_params(config.ckpt_path + "-pretrain", trainer.params)
+        trainer.switch_model(adv_model)
+        start = adv_epoch
+    else:
+        trainer.switch_model(adv_model)
+        trainer.restore_checkpoint(restore[0])
+        start = restore[1]
+    best = trainer.fit(epochs=config.epochs, epoch_start=start, tag=tag)
     if config.ckpt_path:
         save_params(config.ckpt_path + "-final", trainer.params)
     return best

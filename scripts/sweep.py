@@ -10,6 +10,12 @@ Usage:
 import argparse
 import itertools
 import json
+import os
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/acf_tpu_xla"))
 
 
 def parse_grid(spec: str):

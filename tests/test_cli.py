@@ -41,3 +41,30 @@ def test_cli_sampled_eval(tmp_path):
     best = main(ARGS + ["--model", "bpr", "--eval_mode", "sample",
                         "--opath", str(tmp_path) + "/"])
     assert np.isfinite(best["ndcg"])
+
+
+def test_cli_checkpoint_restore_resume(tmp_path):
+    """Periodic full-state snapshots + --restore resume (reference
+    --restore semantics, run_adv.py:97-120)."""
+    ck = str(tmp_path / "ck")
+    main(ARGS + ["--model", "bpr", "--opath", str(tmp_path) + "/a/",
+                 "--ckpt", "1", "--ckpt_dir", ck])
+    assert os.path.exists(f"{ck}/video/bpr-1.npz")
+    resumed = main(ARGS + ["--model", "bpr", "--epochs", "3",
+                           "--opath", str(tmp_path) + "/b/",
+                           "--restore", f"{ck}/video/bpr-1",
+                           "--restore_epoch", "2"])
+    assert np.isfinite(resumed["ndcg"])
+
+
+def test_cli_two_phase_restore_into_adv_phase(tmp_path):
+    ck = str(tmp_path / "ck")
+    main(ARGS + ["--model", "apr", "--adv_epoch", "1",
+                 "--opath", str(tmp_path) + "/a/", "--ckpt", "1",
+                 "--ckpt_dir", ck])
+    resumed = main(ARGS + ["--model", "apr", "--adv_epoch", "1",
+                           "--epochs", "3",
+                           "--opath", str(tmp_path) + "/b/",
+                           "--restore", f"{ck}/video/apr-1",
+                           "--restore_epoch", "2"])
+    assert np.isfinite(resumed["ndcg"])
