@@ -69,16 +69,20 @@ def build_parser():
     p.add_argument("--sparse", action="store_true",
                    help="row-space sparse Adagrad step for bpr/apr "
                         "(identical trajectory, touched-rows-only updates)")
-    p.add_argument("--dedup", type=str, default="matmul",
-                   choices=["matmul", "sort"],
-                   help="duplicate-row aggregation program for --sparse")
+    p.add_argument("--dedup", type=str, default="auto",
+                   choices=["auto", "matmul", "sort"],
+                   help="duplicate-row aggregation program for --sparse "
+                        "(auto: matmul below ~4k batch, sort above — the "
+                        "matmul program's equality matrices are O(B²))")
     p.add_argument("--pre", type=str, default="",
                    help="npz checkpoint to warm-start matching params from")
     p.add_argument("--restore", type=str, default="",
                    help="full train-state snapshot (params+opt+RNG) to "
                         "resume from (reference --restore, run_adv.py:97-120)")
     p.add_argument("--restore_epoch", type=int, default=0,
-                   help="epoch the --restore snapshot was taken at")
+                   help="first epoch to RUN after restoring (a snapshot "
+                        "named '-e' was saved after epoch e completed, so "
+                        "pass e+1 for bit-exact resume)")
     p.add_argument("--ckpt_dir", type=str, default="Pretrain",
                    help="directory for periodic --ckpt snapshots")
     p.add_argument("--w", type=float, default=0.001,
@@ -219,7 +223,7 @@ def main(argv=None):
     if clean is not None:
         best = fit_two_phase(clean, model, data, optimizer, cfg,
                              adv_epoch=args.adv_epoch, writer=writer,
-                             restore=restore)
+                             restore=restore, pretrain=args.pre or None)
     else:
         trainer = Trainer(model, data, optimizer, cfg, writer)
         if args.pre:

@@ -41,6 +41,11 @@ def gumbel_softmax(key, probs, temperature=0.2, eps=1e-20):
 class APL(PairwiseModel):
     lr: float = 0.05
     loss_function: str = "log"   # 'log' | 'wgan' | 'hinge' (APL.py:62)
+
+    def __post_init__(self):
+        if self.loss_function not in ("log", "wgan", "hinge"):
+            raise ValueError(f"apl loss_function {self.loss_function!r} not "
+                             "in ('log', 'wgan', 'hinge')")
     reg_g: float = 0.0           # regs[0] (APL.py:61)
     reg_c: float = 0.05          # regs[1]
     temperature: float = 0.2

@@ -32,6 +32,15 @@ class GRU4Rec(SequenceModel):
     final_act: str = "linear"    # 'linear' | 'relu' | 'tanh'
     hidden_act: str = "tanh"
 
+    def __post_init__(self):
+        if self.loss_type not in ("bpr", "top1", "ce"):
+            raise ValueError(f"gru4rec loss_type {self.loss_type!r} not in "
+                             "('bpr', 'top1', 'ce')")
+        if self.final_act not in ("linear", "relu", "tanh"):
+            raise ValueError(f"gru4rec final_act {self.final_act!r}")
+        if self.hidden_act not in ("tanh", "relu"):
+            raise ValueError(f"gru4rec hidden_act {self.hidden_act!r}")
+
     def _act(self, x):
         if self.final_act == "relu":
             return jax.nn.relu(x)

@@ -8,13 +8,15 @@ per-step HBM traffic is ~6 full tables regardless of batch size.
 This step keeps everything in *row space*:
 
   * gradients are taken wrt the gathered rows [B, d] (closed under autodiff);
-  * duplicates are aggregated per unique id. Two interchangeable programs:
-    ``dedup="sort"`` uses ``jnp.unique`` (static size under jit) + a
-    batch-sized scatter-add; ``dedup="matmul"`` (default) is sort-free —
-    an equality matrix ``eq[i,j] = ids[i]==ids[j]`` gives first-occurrence
-    flags via ``argmax`` and aggregates duplicate gradients as one
-    [B,B]x[B,d] matmul on the MXU, so the hot path has no sort, no
-    data-dependent scatter-add, and no serialized lane shuffles;
+  * duplicates are aggregated per unique id. Two interchangeable programs
+    (``dedup="auto"`` default picks by batch size): ``"sort"`` uses
+    ``jnp.unique`` (static size under jit) + a batch-sized scatter-add;
+    ``"matmul"`` is sort-free — an equality matrix
+    ``eq[i,j] = ids[i]==ids[j]`` gives first-occurrence flags via
+    ``argmax`` and aggregates duplicate gradients as one [B,B]x[B,d]
+    matmul on the MXU, so the hot path has no sort, no data-dependent
+    scatter-add, and no serialized lane shuffles — but the equality
+    matrices are O(B²), so "auto" switches to "sort" above 4k batch;
   * Adagrad reads/writes only the touched rows (`.at[ids]` gather/scatter),
     reproducing ``optax.adagrad`` exactly (acc += g²; Δ = g·rsqrt(acc+eps));
   * the FGSM delta is computed in row space too — mathematically identical
@@ -46,7 +48,10 @@ class SparseMFBPR(MFBPR):
     lr: float = 0.05
     initial_acc: float = 0.1
     opt_eps: float = 1e-7  # optax.adagrad eps
-    dedup: str = "matmul"  # 'matmul' (sort-free, MXU) | 'sort' (jnp.unique)
+    # 'matmul': sort-free MXU aggregation — fastest at bs <= ~4k but its
+    # equality matrices are O(B²) memory ([2B,2B] f32 ≈ 1 GB at bs 8192);
+    # 'sort': jnp.unique, O(B log B); 'auto' picks by batch size.
+    dedup: str = "auto"
 
     def init_opt_state(self, optimizer, params):
         return {
@@ -125,7 +130,10 @@ class SparseMFBPR(MFBPR):
 
                 return su, agg, delta_rows
 
-            dedup = dedup_matmul if self.dedup == "matmul" else dedup_sort
+            mode = self.dedup
+            if mode == "auto":
+                mode = "matmul" if b <= 4096 else "sort"
+            dedup = dedup_matmul if mode == "matmul" else dedup_sort
 
             def step(c, xs):
                 prm, opt = c

@@ -155,11 +155,7 @@ class Trainer:
                 np.nonzero(data.hist_len >= 2)[0].astype(np.int32)),
         }
 
-        eval_bu = min(config.eval_batch_users,
-                      getattr(model, "eval_batch_users", config.eval_batch_users))
-        self.evaluator = FullRankEvaluator(
-            data, batch_users=eval_bu,
-            eval_hist_len=getattr(model, "maxlen", None))
+        self.evaluator = self._make_evaluator(model)
 
         if hasattr(model, "extra_device_data"):
             self.dev.update(model.extra_device_data(data))
@@ -239,6 +235,11 @@ class Trainer:
         (BPR.py:59-65, IRGAN.py:29-34). Leaves present in the checkpoint
         with matching shape are loaded; everything else keeps its init."""
         data = dict(np.load(path if path.endswith(".npz") else path + ".npz"))
+        # accept full train-state snapshots (save_checkpoint nests params
+        # under "params/") as pretrain sources too
+        for k in list(data):
+            if k.startswith("params/"):
+                data.setdefault(k[len("params/"):], data[k])
         flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
         leaves = []
         loaded = []
@@ -333,14 +334,21 @@ class Trainer:
         else:
             self.epoch_fn = make_pair_epoch_fn(
                 model, self.optimizer, self.cfg.batch_size, self.num_batches)
-        self.evaluator = FullRankEvaluator(
-            self.data, batch_users=self.cfg.eval_batch_users)
+        self.evaluator = self._make_evaluator(model)
+
+    def _make_evaluator(self, model):
+        eval_bu = min(self.cfg.eval_batch_users,
+                      getattr(model, "eval_batch_users",
+                              self.cfg.eval_batch_users))
+        return FullRankEvaluator(self.data, batch_users=eval_bu,
+                                 eval_hist_len=getattr(model, "maxlen", None))
 
 
 def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
                   config: TrainConfig, adv_epoch: int,
                   writer: Optional[OutputWriter] = None, tag: str = "",
-                  restore: Optional[tuple] = None) -> dict:
+                  restore: Optional[tuple] = None,
+                  pretrain: Optional[str] = None) -> dict:
     """APR protocol (reference run_adv.py:56-120): train the clean model for
     ``adv_epoch`` epochs, then continue adversarially to ``config.epochs``.
 
@@ -351,6 +359,8 @@ def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
     there.
     """
     trainer = Trainer(clean_model, data, optimizer, config, writer)
+    if pretrain:
+        trainer.load_pretrain(pretrain)
     start = 0
     if restore is not None and restore[1] < adv_epoch:
         trainer.restore_checkpoint(restore[0])

@@ -72,7 +72,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--bs", type=int, default=4096)
-    ap.add_argument("--adv", action="store_true", default=True)
     args = ap.parse_args()
 
     from acf_tpu.models.mf import MFBPR

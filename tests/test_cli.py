@@ -57,6 +57,30 @@ def test_cli_checkpoint_restore_resume(tmp_path):
     assert np.isfinite(resumed["ndcg"])
 
 
+def test_cli_rejects_invalid_loss():
+    import pytest
+    with pytest.raises(ValueError, match="gru4rec loss_type"):
+        main(ARGS + ["--model", "gru4rec", "--loss", "hinge"])
+
+
+def test_cli_pre_accepts_full_state_snapshot(tmp_path):
+    """--pre warm-start must read full train-state snapshots (params nested
+    under 'params/') — the BPR-pretrain → APR protocol (IRGAN.py:29-34,
+    run.py:210-213) with periodic snapshots as the source."""
+    ck = str(tmp_path / "ck")
+    main(ARGS + ["--model", "bpr", "--opath", str(tmp_path) + "/a/",
+                 "--ckpt", "1", "--ckpt_dir", ck])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        best = main(ARGS + ["--model", "bpr", "--epochs", "1",
+                            "--opath", str(tmp_path) + "/b/",
+                            "--pre", f"{ck}/video/bpr-1"])
+    assert np.isfinite(best["ndcg"])
+    assert "Loaded pretrained leaves: []" not in buf.getvalue()
+
+
 def test_cli_two_phase_restore_into_adv_phase(tmp_path):
     ck = str(tmp_path / "ck")
     main(ARGS + ["--model", "apr", "--adv_epoch", "1",
