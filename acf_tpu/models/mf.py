@@ -134,6 +134,9 @@ class MFBPR(PairwiseModel):
             # (evaluation_adv.py:175-177 reuses the clean lookups).
             opt_loss = opt_loss + self.reg_adv * loss_adv + self.reg * reg_term
             aux["loss_adv"] = loss_adv
+            # pairwise acc under perturbed embeddings — the epoch line's
+            # ACC_adv (evaluation_adv.py:398-399 on output_adv)
+            aux["acc_adv"] = jnp.mean((pos_a - neg_a) > 0)
         return opt_loss, aux
 
 

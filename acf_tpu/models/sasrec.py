@@ -218,9 +218,11 @@ class SASRec(SequenceModel):
                 adv_reprs = self.encode(adv_params, seq, train=True, key=k_adv)
             else:
                 adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
-            adv_loss, _ = self._pointwise_loss(adv_reprs, emb_plus, pos, neg)
+            adv_loss, adv_auc = self._pointwise_loss(adv_reprs, emb_plus,
+                                                     pos, neg)
             loss = loss + self.reg_adv * adv_loss
             aux["loss_adv"] = adv_loss
+            aux["acc_adv"] = adv_auc
         return loss, aux
 
     # ------------------------------------------------------------------

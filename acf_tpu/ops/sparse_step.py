@@ -74,11 +74,14 @@ class SparseMFBPR(MFBPR):
             reg_term = jnp.mean(jnp.square(pu) + jnp.square(qp)
                                 + jnp.square(qn))
             total = loss + self.reg * reg_term
-            if self.adversarial:
-                adv, _ = rows_bpr(pu + d_pu, qp + d_qp, qn + d_qn)
-                total = total + self.reg_adv * adv + self.reg * reg_term
             acc = jnp.mean((pos_s - neg_s) > 0)
-            return total, {"loss": loss, "acc": acc}
+            aux = {"loss": loss, "acc": acc}
+            if self.adversarial:
+                adv, (pos_a, neg_a) = rows_bpr(pu + d_pu, qp + d_qp,
+                                               qn + d_qn)
+                total = total + self.reg_adv * adv + self.reg * reg_term
+                aux["acc_adv"] = jnp.mean((pos_a - neg_a) > 0)
+            return total, aux
 
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(carry, data, key):

@@ -53,11 +53,17 @@ def sample_pair_epoch(key, num_pairs: int, batch_size: int, num_batches: int):
     Mirrors the reference's per-epoch shuffle + drop-remainder batching
     (evaluation_adv.py:59-72). Returns [num_batches, batch_size] int32.
     """
+    need = num_batches * batch_size
     perm = jax.random.permutation(key, num_pairs)
-    return perm[: num_batches * batch_size].reshape(num_batches, batch_size)
+    if need > num_pairs:
+        # tiny datasets (num_pairs < batch_size): wrap the permutation so
+        # one full batch still exists instead of a reshape error
+        reps = -(-need // num_pairs)
+        perm = jnp.tile(perm, reps)
+    return perm[:need].reshape(num_batches, batch_size)
 
 
-def sample_seq_batch(key, hist, hist_len, eligible_users, maxlen: int,
+def sample_seq_batch(key, hist, eligible_users, maxlen: int,
                      num_items: int, batch_size: int, rounds: int = 8):
     """(user, seq, pos, neg) windows for sequence models.
 

@@ -15,13 +15,16 @@ import jax
 import numpy as np
 
 
+def path_name(path) -> str:
+    """Canonical '/'-joined leaf name for a tree path (the single naming
+    scheme shared by save/load/pretrain matching)."""
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
 def _flatten_with_names(tree):
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = {}
-    for path, leaf in flat:
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        out[name] = np.asarray(leaf)
-    return out
+    return {path_name(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def save_params(path: str, params) -> None:
@@ -37,7 +40,7 @@ def load_params(path: str, like):
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
     for p, leaf in flat:
-        name = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+        name = path_name(p)
         arr = data[name]
         assert arr.shape == leaf.shape, (name, arr.shape, leaf.shape)
         leaves.append(arr.astype(leaf.dtype))

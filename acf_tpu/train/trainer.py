@@ -115,7 +115,7 @@ def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
             prm, opt = c
             ks, kl = jax.random.split(kk)
             users, seq, pos, neg = sample_seq_batch(
-                ks, data["hist"], data["hist_len"], data["eligible"],
+                ks, data["hist"], data["eligible"],
                 model.maxlen, model.num_items, batch_size)
             (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 prm, (users, seq, pos, neg), kl)
@@ -144,7 +144,13 @@ class Trainer:
         self.cfg = config
         self.writer = writer or OutputWriter(None, None)
 
+        # membership_len caps the history columns used for rejection
+        # sampling. Sequence models consume dev["hist"] as training windows
+        # too, so the cap only applies to pair-sampled models — truncating
+        # it for seq models would silently shorten every training sequence.
         ml = config.membership_len
+        if getattr(model, "batch_kind", "pair") == "seq":
+            ml = None
         hist = data.hist if ml is None else data.hist[:, -ml:]
         self.dev = {
             "pairs_u": jnp.asarray(data.pairs_u),
@@ -240,12 +246,12 @@ class Trainer:
         for k in list(data):
             if k.startswith("params/"):
                 data.setdefault(k[len("params/"):], data[k])
+        from acf_tpu.train.checkpoint import path_name
         flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
         leaves = []
         loaded = []
         for p, leaf in flat:
-            name = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
-                            for q in p)
+            name = path_name(p)
             if name in data and data[name].shape == leaf.shape:
                 leaves.append(jnp.asarray(data[name], leaf.dtype))
                 loaded.append(name)
@@ -266,7 +272,7 @@ class Trainer:
             if math.isnan(loss):
                 self.writer.line(f"Epoch {epoch}: NaN loss, aborting")
                 break
-            if epoch % cfg.verbose == 0:
+            if cfg.verbose and epoch % cfg.verbose == 0:
                 t1 = time.time()
                 res = self.evaluate()
                 eval_time = time.time() - t1
@@ -277,7 +283,8 @@ class Trainer:
                     "Epoch %d [%.1fs + %.1fs]: HR = %.4f, NDCG = %.4f "
                     "ACC = %.4f ACC_adv = %.4f [%.1fs], |P|=%.2f, |Q|=%.2f"
                     % (epoch, 0.0, train_time, hr, ndcg,
-                       stats.get("acc", 0.0), stats.get("acc", 0.0),
+                       stats.get("acc", 0.0),
+                       stats.get("acc_adv", stats.get("acc", 0.0)),
                        eval_time, norms[0], norms[1]))
                 if ndcg > self.best["ndcg"]:
                     self.best = {"ndcg": ndcg, "epoch": epoch,
@@ -323,6 +330,7 @@ class Trainer:
         """Swap the model (e.g. clean → adversarial for APR phase 2) while
         keeping params and optimizer slots — the reference does this via a
         graph rebuild plus checkpoint restore (run_adv.py:97-120)."""
+        old_eval_key = self._eval_key(self.model)
         self.model = model
         if hasattr(model, "make_epoch_fn"):
             self.epoch_fn = model.make_epoch_fn(
@@ -334,14 +342,24 @@ class Trainer:
         else:
             self.epoch_fn = make_pair_epoch_fn(
                 model, self.optimizer, self.cfg.batch_size, self.num_batches)
-        self.evaluator = self._make_evaluator(model)
+        # keep the evaluator (device uploads + corrections cache) when the
+        # new model needs identical eval geometry — the common clean→adv
+        # switch; independent best tracking per phase matches the
+        # reference's separate per-phase processes (run_adv.py:97-120)
+        if self._eval_key(model) != old_eval_key:
+            self.evaluator = self._make_evaluator(model)
+        self.best = {"ndcg": -1.0, "epoch": -1, "result": None}
+
+    def _eval_key(self, model):
+        return (min(self.cfg.eval_batch_users,
+                    getattr(model, "eval_batch_users",
+                            self.cfg.eval_batch_users)),
+                getattr(model, "maxlen", None))
 
     def _make_evaluator(self, model):
-        eval_bu = min(self.cfg.eval_batch_users,
-                      getattr(model, "eval_batch_users",
-                              self.cfg.eval_batch_users))
+        eval_bu, hist_len = self._eval_key(model)
         return FullRankEvaluator(self.data, batch_users=eval_bu,
-                                 eval_hist_len=getattr(model, "maxlen", None))
+                                 eval_hist_len=hist_len)
 
 
 def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,

@@ -57,6 +57,15 @@ def test_cli_checkpoint_restore_resume(tmp_path):
     assert np.isfinite(resumed["ndcg"])
 
 
+def test_cli_tiny_dataset_smaller_than_batch(tmp_path):
+    """num_pairs < batch_size must not crash the epoch sampler."""
+    best = main(["--data", "video", "--path", "/root/reference/data",
+                 "--nrows", "300", "--bs", "512", "--epochs", "2",
+                 "--d", "8", "--model", "bpr",
+                 "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
+
+
 def test_cli_rejects_invalid_loss():
     import pytest
     with pytest.raises(ValueError, match="gru4rec loss_type"):

@@ -38,7 +38,7 @@ def test_seq_batch_windows():
     hist_len = np.array([0, 4, 2], dtype=np.int32)
     eligible = np.array([1, 2], dtype=np.int32)
     users, seq, pos, neg = sample_seq_batch(
-        jax.random.PRNGKey(3), jnp.asarray(hist), jnp.asarray(hist_len),
+        jax.random.PRNGKey(3), jnp.asarray(hist),
         jnp.asarray(eligible), maxlen=3, num_items=20, batch_size=32)
     users, seq, pos, neg = map(np.asarray, (users, seq, pos, neg))
     for b in range(32):

@@ -71,3 +71,21 @@ def test_checkpoint_roundtrip(tmp_path):
     loaded = load_params(path, like)
     np.testing.assert_allclose(np.asarray(params["P"]), loaded["P"])
     np.testing.assert_allclose(np.asarray(params["Q"]), loaded["Q"])
+
+
+def test_switch_model_resets_best_tracking():
+    """Phase switch must not carry phase-1 best results into phase 2
+    (reference runs phases as separate processes, run_adv.py:97-120)."""
+    import optax
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.train import Trainer, TrainConfig
+
+    data = synthetic_data(seed=7)
+    clean = MFBPR(data.num_users, data.num_items, 8)
+    adv = MFBPR(data.num_users, data.num_items, 8, adversarial=True)
+    tr = Trainer(clean, data, optax.adagrad(0.05), TrainConfig(batch_size=32))
+    tr.best = {"ndcg": 0.9, "epoch": 3, "result": object()}
+    ev = tr.evaluator
+    tr.switch_model(adv)
+    assert tr.best["ndcg"] == -1.0 and tr.best["result"] is None
+    assert tr.evaluator is ev  # same eval geometry -> evaluator reused
