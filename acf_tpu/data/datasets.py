@@ -137,16 +137,27 @@ def interactions_from_frame(
     hist[train_u[keep], col[keep]] = train_i[keep]
     hist_len = np.minimum(hist_len, hist.shape[1])
 
-    # Unique (u, i) pairs — dok-matrix semantics.
+    # Unique (u, i) pairs — dok-matrix semantics (always over the FULL
+    # train set; training iterates every dok pair).
     pair_key = train_u.astype(np.int64) * num_items + train_i.astype(np.int64)
     uniq_key = np.unique(pair_key)
     pairs_u = (uniq_key // num_items).astype(np.int32)
     pairs_i = (uniq_key % num_items).astype(np.int32)
-    uniq_count = np.bincount(pairs_u, minlength=num_users).astype(np.int32)
+
+    # Eval bookkeeping (uniq_count / gt_in_train) must agree with the
+    # MASKING set, which is ``hist`` — when max_hist_len truncates old
+    # interactions the evaluator cannot mask them, so they are ordinary
+    # candidates and must not be subtracted from the candidate count
+    # (otherwise AUC denominators go wrong / negative). Untruncated data
+    # reduces to the reference semantics (evaluation_adv.py:425-437).
+    kept_key = np.unique(train_u[keep].astype(np.int64) * num_items
+                         + train_i[keep].astype(np.int64))
+    uniq_count = np.bincount((kept_key // num_items).astype(np.int32),
+                             minlength=num_users).astype(np.int32)
 
     gt_key = test_u.astype(np.int64) * num_items + test_i.astype(np.int64)
     gt_in_train = np.zeros(num_users, dtype=bool)
-    gt_in_train[test_u] = np.isin(gt_key, uniq_key)
+    gt_in_train[test_u] = np.isin(gt_key, kept_key)
 
     test_negatives = None
     if num_negatives > 0:

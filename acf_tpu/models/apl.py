@@ -42,6 +42,10 @@ class APL(PairwiseModel):
     lr: float = 0.05
     loss_function: str = "log"   # 'log' | 'wgan' | 'hinge' (APL.py:62)
 
+    # p_aux mixture consumes hist semantically (not just for rejection) —
+    # the trainer must not truncate it via membership_len
+    uses_full_hist = True
+
     def __post_init__(self):
         if self.loss_function not in ("log", "wgan", "hinge"):
             raise ValueError(f"apl loss_function {self.loss_function!r} not "
@@ -123,12 +127,15 @@ class APL(PairwiseModel):
             logits = g_params["P"][users] @ g_params["Q"].T
             probs = jax.nn.softmax(logits, axis=-1)
             b = users.shape[0]
-            npos = jnp.maximum(jnp.sum(hist_rows != 0, -1, keepdims=True), 1)
-            p_aux = jnp.zeros_like(probs)
+            # uniform over UNIQUE positives (the reference builds p_aux from
+            # the dok's unique keys, APL.py:250-252): set-semantics scatter,
+            # then normalize — duplicate history entries must not
+            # concentrate mixture mass
             rows = jnp.arange(b)[:, None]
-            p_aux = p_aux.at[rows, hist_rows].add(
-                jnp.where(hist_rows != 0,
-                          self.p_aux_weight / npos.astype(jnp.float32), 0.0))
+            member = jnp.zeros_like(probs).at[rows, hist_rows].max(
+                (hist_rows != 0).astype(probs.dtype))
+            nuniq = jnp.maximum(jnp.sum(member, -1, keepdims=True), 1.0)
+            p_aux = self.p_aux_weight * member / nuniq
             mixed = (1.0 - self.p_aux_weight) * probs + p_aux
             return gumbel_softmax(key, mixed, self.temperature)
 
@@ -140,7 +147,10 @@ class APL(PairwiseModel):
                 fake_onehot_critic(g_params, users, key))
             fake_emb = onehot @ c_params["Q"]
             fake = jnp.sum(pu * fake_emb, -1)
-            c_l2 = (jnp.sum(jnp.square(pu)) + jnp.sum(jnp.square(qi))
+            # the reference accumulates l2(u_embedding) in BOTH the real and
+            # fake scopes (APL.py:132 then += at :140), so the user rows are
+            # regularized twice
+            c_l2 = (2 * jnp.sum(jnp.square(pu)) + jnp.sum(jnp.square(qi))
                     + jnp.sum(jnp.square(fake_emb))) / 2
             _, c_loss = self._losses(real, fake, 0.0, c_l2)
             return c_loss

@@ -28,7 +28,7 @@ import optax
 from acf_tpu.data.datasets import Interactions
 from acf_tpu.models.base import SequenceModel
 from acf_tpu.nn.layers import glorot_uniform
-from acf_tpu.sampling.negatives import uniform_negatives
+from acf_tpu.sampling.negatives import sample_pair_epoch, uniform_negatives
 
 
 @dataclasses.dataclass(eq=False)
@@ -165,9 +165,9 @@ class Caser(SequenceModel):
         def epoch_fn(carry, data, key):
             params, opt_state = carry
             k_perm, k_steps = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n_windows)
-            batches = perm[: num_batches * batch_size].reshape(
-                num_batches, batch_size)
+            # sample_pair_epoch wraps when n_windows < batch_size
+            batches = sample_pair_epoch(k_perm, n_windows, batch_size,
+                                        num_batches)
             step_keys = jax.random.split(k_steps, num_batches)
 
             def step(c, xs):

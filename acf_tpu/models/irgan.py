@@ -46,6 +46,9 @@ class IRGAN(PairwiseModel):
     # discriminator trains on pairwise softplus(pos − G-sampled neg)
     # instead of pointwise sigmoid CE.
     pairwise_d: bool = False
+    # positive-mixture sampling + importance density consume hist
+    # semantically — exempt from the trainer's membership_len cap
+    uses_full_hist = True
 
     def init_params(self, key):
         ks = jax.random.split(key, 4)
@@ -108,7 +111,10 @@ class IRGAN(PairwiseModel):
             ce = jnp.logaddexp(0.0, logits) - labels * logits
             reg = lam_d * (jnp.sum(jnp.square(pu)) / 2
                            + jnp.sum(jnp.square(qi)) / 2)
-            return jnp.mean(ce) + reg
+            # the reference's pre_loss is a [B] vector with the scalar reg
+            # broadcast onto it; minimize() differentiates its SUM
+            # (IRGAN.py:250-256) → sum(ce) + B·reg, not a mean
+            return jnp.sum(ce) + labels.shape[0] * reg
 
         def d_pair_loss_fn(d_params, users, pos, neg):
             """DIS2: sum softplus(-(D(u,pos) − D(u,neg))) per coordinate
@@ -190,10 +196,17 @@ class IRGAN(PairwiseModel):
                 sample = jnp.where(ks_mix, pos_pick, cat).astype(jnp.int32)
 
                 p_i = jnp.take_along_axis(prob, sample, axis=1)
-                # pn[i] = (1-λ) p[i] + λ/|pos| · [i ∈ pos]
-                in_pos = (sample[:, :, None] == hist_rows[:, None, :]).any(-1)
+                # pn[i] = (1-λ) p[i] + λ·m_i/|hist| where m_i is the item's
+                # multiplicity in the history row: our positive pick draws a
+                # uniform POSITION, so an item visited m times has proposal
+                # mass λ·m/|hist| — the density must match or the importance
+                # weights p/pn bias toward repeat items. (The reference
+                # samples from unique dok keys, IRGAN.py:84-90, where m ≡ 1
+                # and this reduces to λ/|pos|.)
+                mult = jnp.sum(
+                    (sample[:, :, None] == hist_rows[:, None, :]), -1)
                 pn_i = (1 - self.sample_lambda) * p_i + \
-                    self.sample_lambda / hist_len * in_pos
+                    self.sample_lambda / hist_len * mult
                 d_scores = jnp.sum(d_new["P"][u][:, None, :]
                                    * d_new["Q"][sample], -1)
                 reward = 2.0 * (jax.nn.sigmoid(d_scores) - 0.5)

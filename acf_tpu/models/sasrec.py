@@ -9,9 +9,11 @@ Adversarial modes (reference SASRec.py:213-234, 368-414):
   * ``asasrec``  — FGSM delta on the item-embedding table only; the
     adversarial logits perturb the *target* item embeddings against the
     clean sequence representation (SASRec.py:356-363).
-  * ``asasrec2`` — deltas additionally on the positional table, the Q/K/V
-    dense kernels+biases and the FF conv kernels+biases; the whole encoder
-    is re-run with perturbed weights (SASRec.py:269-354).
+  * ``asasrec2`` — deltas additionally on the positional table, the Q
+    dense kernel+bias and the FF conv kernels+biases; the whole encoder
+    is re-run with perturbed weights (SASRec.py:269-354). Note the
+    reference creates delta variables for K/V too but never assigns them
+    (SASRec.py:378-387 updates only attention_denseQ), so K/V stay clean.
 
 Deltas are ε-scaled row-normalized gradients of the *no-dropout* clean loss
 (the reference computes ``update_emb`` with ``is_training=False``,
@@ -189,7 +191,11 @@ class SASRec(SequenceModel):
                 delta["pos_emb"] = self.eps_pos * _tf_l2_normalize(g["pos_emb"])
             for bi in range(self.num_blocks):
                 if self.eps_dense:
-                    for name in ("wq", "wk", "wv"):
+                    # the reference assigns dense deltas ONLY for the Q
+                    # projection (SASRec.py:378-387); delta_denseK/V are
+                    # created (SASRec.py:133-135) but never written, so they
+                    # stay zero — replicated here for parity
+                    for name in ("wq",):
                         delta["blocks"][bi][name] = {
                             "w": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["w"]),
                             "b": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["b"]),

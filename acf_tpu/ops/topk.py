@@ -45,7 +45,10 @@ def topk_factored(u_repr, item_emb, hists, bias=None, k: int = 10,
 
     def tile_fn(start):
         emb = jax.lax.dynamic_slice_in_dim(item_emb, start, item_tile)
-        scores = u_repr @ emb.T  # [B, T]
+        # HIGHEST: default-precision TPU matmuls truncate f32→bf16 and
+        # reorder near-tie items vs the evaluator (CLAUDE.md gotcha)
+        scores = jnp.dot(u_repr, emb.T,
+                         precision=jax.lax.Precision.HIGHEST)  # [B, T]
         cols = start + jnp.arange(item_tile)
         if bias is not None:
             scores = scores + jax.lax.dynamic_slice_in_dim(
@@ -83,7 +86,8 @@ def recommend(model, params, data, users, k: int = 10, batch_users: int = 512):
             table, bias = fs[1](params)
             sc, it = topk_factored(reprs, table, hb, bias=bias, k=k)
         else:
-            scores = model.score_all(params, ub, hb)
+            with jax.default_matmul_precision("highest"):
+                scores = model.score_all(params, ub, hb)
             rows = jnp.arange(ub.shape[0])
             scores = scores.at[:, 0].set(NEG)
             scores = scores.at[rows[:, None], hb].set(NEG)

@@ -29,13 +29,20 @@ def host_sharded_array(mesh: Mesh, global_data: np.ndarray,
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         return jax.device_put(jnp.asarray(global_data), sharding)
-    # each process contributes its slice of the leading dim
+    # each process contributes its slice of the leading dim; pad the tail
+    # (wrapping the first rows) so a non-divisible dataset never silently
+    # drops its last n % process_count examples
     n = global_data.shape[0]
-    per = n // jax.process_count()
+    count = jax.process_count()
+    per = -(-n // count)
+    if per * count != n:
+        extra = per * count - n
+        global_data = np.concatenate([global_data, global_data[:extra]],
+                                     axis=0)
     start = jax.process_index() * per
     local = global_data[start:start + per]
-    return jax.make_array_from_process_local_data(sharding, local,
-                                                  global_shape=global_data.shape)
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=global_data.shape)
 
 
 def replicate(mesh: Mesh, data: np.ndarray):

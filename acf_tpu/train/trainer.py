@@ -145,11 +145,12 @@ class Trainer:
         self.writer = writer or OutputWriter(None, None)
 
         # membership_len caps the history columns used for rejection
-        # sampling. Sequence models consume dev["hist"] as training windows
-        # too, so the cap only applies to pair-sampled models — truncating
-        # it for seq models would silently shorten every training sequence.
+        # sampling. Models that consume dev["hist"] semantically (sequence
+        # windows, GAN positive mixtures — marked uses_full_hist) are
+        # exempt: truncating theirs would silently change the objective.
         ml = config.membership_len
-        if getattr(model, "batch_kind", "pair") == "seq":
+        if getattr(model, "batch_kind", "pair") == "seq" or \
+                getattr(model, "uses_full_hist", False):
             ml = None
         hist = data.hist if ml is None else data.hist[:, -ml:]
         self.dev = {

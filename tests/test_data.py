@@ -122,3 +122,31 @@ def test_video_pre_alias():
     # presplit Video files: 31k users, ids shifted by +1
     assert d.num_users > 30000
     assert d.num_pairs > 200000
+
+
+def test_truncated_hist_eval_bookkeeping_consistent():
+    """When max_hist_len truncates old interactions, num_eval_candidates
+    must agree with the maskable set (hist), or AUC denominators go wrong
+    (can even turn negative)."""
+    import pandas as pd
+
+    from acf_tpu.data import interactions_from_frame
+
+    n = 40
+    df = pd.DataFrame({
+        "uid": np.ones(n, dtype=np.int64),
+        "iid": np.arange(1, n + 1, dtype=np.int64),  # all distinct
+        "timestamp": np.arange(n, dtype=np.int64),
+    })
+    d = interactions_from_frame(df, reindex=False, max_hist_len=8)
+    # 39 train items, hist keeps last 8 distinct ones
+    assert d.hist.shape[1] == 8
+    assert d.uniq_count[1] == 8
+    n_cand = d.num_eval_candidates()[1]
+    # candidates = num_items-1 (pad) - 8 (maskable) - 1 (gt not in hist)
+    assert n_cand == d.num_items - 1 - 8 - 1
+    assert n_cand > 0
+    # untruncated: reference semantics (all 39 train items subtracted)
+    full = interactions_from_frame(df, reindex=False)
+    assert full.uniq_count[1] == 39
+    assert full.num_eval_candidates()[1] == full.num_items - 1 - 39 - 1
