@@ -38,9 +38,18 @@ def load_tf_embeddings(ckpt_prefix: str):
     names = list(reader.get_variable_to_shape_map())
     out = {}
     for key, target in (("embedding_P", "P"), ("embedding_Q", "Q")):
-        match = [n for n in names if key in n]
-        assert match, f"{key} not found in {prefix} (has: {names})"
-        out[target] = np.asarray(reader.get_tensor(match[0]), np.float32)
+        # exact name first; a substring search would also hit optimizer
+        # slots like 'embedding_P/Adagrad' in full-var checkpoints
+        if key in names:
+            pick = key
+        else:
+            match = sorted(n for n in names
+                           if key in n and "/" not in n.replace(key, "", 1))
+            assert len(match) == 1, (
+                f"{key} ambiguous/missing in {prefix} (candidates: "
+                f"{match or names})")
+            pick = match[0]
+        out[target] = np.asarray(reader.get_tensor(pick), np.float32)
     return out
 
 
@@ -58,9 +67,15 @@ def load_keras_h5_embeddings(path: str, user_layer: str = "uEmb",
         def visit(name, obj):
             if not isinstance(obj, h5py.Dataset):
                 return
-            if f"{user_layer}/" in name or name.startswith(user_layer):
+            # full .h5 saves also carry optimizer_weights/<opt>/<layer>/…
+            # Adam slots whose names contain the layer name and match the
+            # embedding shape — restrict to the model_weights tree (or a
+            # bare weights-only file) and keep the FIRST hit
+            if name.startswith("optimizer_weights"):
+                return
+            if "P" not in found and (f"/{user_layer}/" in f"/{name}"):
                 found["P"] = np.asarray(obj, np.float32)
-            elif f"{item_layer}/" in name or name.startswith(item_layer):
+            elif "Q" not in found and (f"/{item_layer}/" in f"/{name}"):
                 found["Q"] = np.asarray(obj, np.float32)
 
         f.visititems(visit)

@@ -78,7 +78,10 @@ def _positions_factored(user_repr_fn, table_fn, params, users, hists, gt,
     """
     from acf_tpu.ops.ranking import rank_positions_dot
 
-    reprs = user_repr_fn(params, users, hists)  # [B, d]
+    # HIGHEST like _positions_full: encoder matmuls (attention/FFN/RNN)
+    # otherwise truncate f32→bf16 on TPU and perturb every score
+    with jax.default_matmul_precision("highest"):
+        reprs = user_repr_fn(params, users, hists)  # [B, d]
     table, bias = table_fn(params)
     s_corr = jnp.einsum("bd,bcd->bc", reprs, table[corr],
                         precision=jax.lax.Precision.HIGHEST)
@@ -104,7 +107,8 @@ def _positions_sampled(score_some_fn, params, users, hists, gt, negs):
     (reference evaluation.py:114-135 rank-position rule)."""
     b = negs.shape[0]
     items = jnp.concatenate([negs, gt[:, None]], axis=1)  # [B, K+1]
-    scores = score_some_fn(params, users, hists, items)  # [B, K+1]
+    with jax.default_matmul_precision("highest"):  # see CLAUDE.md gotcha
+        scores = score_some_fn(params, users, hists, items)  # [B, K+1]
     gt_score = scores[:, -1]
     return (scores[:, :-1] >= gt_score[:, None]).sum(axis=1).astype(jnp.int32)
 
@@ -182,6 +186,8 @@ class FullRankEvaluator:
         out = []
         for users, hists, gt, _, _ in self._tiles():
             out.append(_positions_full(score_fn, params, users, hists, gt))
+        if not out:  # dataset with zero eval users
+            return np.zeros(0, dtype=np.int32)
         pos = np.asarray(jnp.concatenate(out))
         return pos[: len(self.users)]
 
@@ -197,6 +203,8 @@ class FullRankEvaluator:
             out.append(_positions_factored(
                 user_repr_fn, table_fn, params, users, hists, gt,
                 corr[s:e], interpret))
+        if not out:  # dataset with zero eval users
+            return np.zeros(0, dtype=np.int32)
         pos = np.asarray(jnp.concatenate(out))
         return pos[: len(self.users)]
 
@@ -210,6 +218,8 @@ class FullRankEvaluator:
         for users, hists, gt, s, e in self._tiles():
             out.append(_positions_sampled(
                 score_some_fn, params, users, hists, gt, self._negs_d[s:e]))
+        if not out:  # dataset with zero eval users
+            return np.zeros(0, dtype=np.int32)
         pos = np.asarray(jnp.concatenate(out))
         return pos[: len(self.users)]
 

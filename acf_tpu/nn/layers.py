@@ -18,8 +18,19 @@ def trunc_normal(key, shape, std=0.01):
 
 def glorot_uniform(key, shape):
     """tf.glorot_uniform_initializer — the reference's default for
-    ``tf.layers.Dense``/``Conv1D`` kernels and ``get_variable``."""
-    fan_in, fan_out = shape[-2], shape[-1]
+    ``tf.layers.Dense``/``Conv1D`` kernels and ``get_variable``.
+
+    Fans follow TF's ``_compute_fans``: for rank>2 kernels the leading
+    dims are the receptive field, multiplying both fans."""
+    if len(shape) > 2:
+        rf = 1
+        for s in shape[:-2]:
+            rf *= s
+        fan_in, fan_out = shape[-2] * rf, shape[-1] * rf
+    elif len(shape) == 2:
+        fan_in, fan_out = shape
+    else:
+        fan_in = fan_out = shape[0]
     limit = jnp.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
 

@@ -40,7 +40,10 @@ def init_simple_rnn(key, d_in, d_h):
     """Keras SimpleRNN: kernel glorot, recurrent kernel orthogonal, zero
     bias."""
     k1, k2 = jax.random.split(key)
-    w_rec = jnp.linalg.qr(jax.random.normal(k2, (d_h, d_h)))[0]
+    q, r = jnp.linalg.qr(jax.random.normal(k2, (d_h, d_h)))
+    # Keras Orthogonal applies sign(diag(R)) so the draw is Haar-uniform;
+    # plain qr()[0] has sign-biased columns
+    w_rec = q * jnp.sign(jnp.diagonal(r))[None, :]
     return {
         "w_in": glorot_uniform(k1, (d_in, d_h)),
         "w_rec": w_rec,

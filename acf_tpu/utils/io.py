@@ -12,9 +12,10 @@ import os
 from typing import Optional
 
 
-def write2file(path: str, name: str, output: str) -> None:
+def write2file(path: str, name: str, output: str, echo: bool = True) -> None:
     """Print a line and append it to ``path/name`` (reference utils.py:18-24)."""
-    print(output)
+    if echo:
+        print(output)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, name), "a") as f:
         f.write("%s\n" % output)
@@ -42,7 +43,8 @@ class OutputWriter:
             if not self.quiet:
                 print(output)
             return
-        write2file(self.path, f"{self.run_name}.out", output)
+        write2file(self.path, f"{self.run_name}.out", output,
+                   echo=not self.quiet)
 
     def predictions(self, suffix: str, pred) -> None:
         if self.path is None:
