@@ -50,3 +50,20 @@ class OutputWriter:
         if self.path is None:
             return
         prediction2file(self.path, f"{self.run_name}{suffix}", pred)
+
+
+def init_logging(run_name: str, args=None, root: str = "Log") -> str:
+    """Python-logging file setup (reference utils.py:270-277,
+    evaluation_adv.py:489-496): a per-run file under ``Log/<date>/``,
+    INFO level, with the argument namespace logged first. Returns the
+    log-file path."""
+    import logging
+    from time import localtime, strftime
+
+    path = os.path.join(root, strftime("%Y-%m-%d_%H", localtime()))
+    os.makedirs(path, exist_ok=True)
+    logfile = os.path.join(path, f"{run_name}.log")
+    logging.basicConfig(filename=logfile, level=logging.INFO, force=True)
+    if args is not None:
+        logging.info(args)
+    return logfile
