@@ -87,3 +87,23 @@ def test_sampled_positions():
         ns = np.array([float(P[u] @ Q[j]) for j in negs[u]])
         expect = int((ns >= float(P[u] @ Q[gt])).sum())
         assert pos[idx] == expect
+
+
+def test_factored_path_matches_full_path_sasrec():
+    """The Pallas/factored path and the score_all path must agree on rank
+    positions for the same params (CPU interpret mode, f32 exact)."""
+    import optax
+
+    from acf_tpu.models.sasrec import SASRec
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=11)
+    model = SASRec(data.num_users, data.num_items, 8, maxlen=4, num_blocks=1)
+    tr = Trainer(model, data, optax.adam(1e-3), TrainConfig(batch_size=32))
+    tr.run_epoch()
+    ev = tr.evaluator
+    fs = model.factored_scorer()
+    pos_f = ev.positions_factored(fs[0], fs[1], tr.params)
+    pos_a = ev.positions(model.score_all, tr.params)
+    np.testing.assert_array_equal(pos_f, pos_a)
