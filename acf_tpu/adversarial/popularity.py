@@ -188,7 +188,7 @@ class PopularityAdversarial(PairwiseModel):
             def step(c, xs):
                 prm, opt = c
                 idx, kk = xs
-                ks = jax.random.split(kk, 8)
+                ks = jax.random.split(kk, 10)
                 u = data["pairs_u"][idx]
                 pos = data["pairs_i"][idx]
                 neg = uniform_negatives(ks[0], data["hist"][u], self.num_items)
@@ -208,13 +208,16 @@ class PopularityAdversarial(PairwiseModel):
                 # (sequential, AMF) or the pre-update one (simultaneous,
                 # FastAdversarialMF)
                 disc_for_g = prm["disc"] if self.simultaneous else disc_new
+                # distinct keys per pool: reusing one key across the user and
+                # item draws would make the index vectors monotone transforms
+                # of each other (rank-correlated user/item pairs every step)
                 adv_ids = {
                     "u": jnp.concatenate([
                         sample_ids(ks[5], data["pop_u"], half),
                         sample_ids(ks[6], data["rare_u"], half)]),
                     "i": jnp.concatenate([
-                        sample_ids(ks[5], data["pop_i"], half),
-                        sample_ids(ks[6], data["rare_i"], half)]),
+                        sample_ids(ks[8], data["pop_i"], half),
+                        sample_ids(ks[9], data["rare_i"], half)]),
                 }
                 (_, aux), g_grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(

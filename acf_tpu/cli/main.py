@@ -99,6 +99,19 @@ def build_parser():
     return p
 
 
+def _check_sparse_flags(args):
+    """The row-space sparse step supports neither random-delta FGSM nor DNS;
+    refuse loudly rather than silently training a different objective."""
+    if args.adv != "grad":
+        raise SystemExit("--sparse supports --adv grad only "
+                         "(the sparse step has no random-delta branch); "
+                         "drop --sparse or use --adv grad")
+    if args.dns > 1:
+        raise SystemExit("--sparse does not support --dns > 1 "
+                         "(no DNS candidate selection in the sparse step); "
+                         "drop --sparse or --dns")
+
+
 def make_model(name, data, args):
     """name → (model, optimizer, clean_model_for_phase1 | None)."""
     from acf_tpu.adversarial import PopularityAdversarial
@@ -117,12 +130,14 @@ def make_model(name, data, args):
     if name in ("bpr", "bpr-tf"):
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
+            _check_sparse_flags(args)
             return SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
                                 dedup=args.dedup), adagrad, None
         return MFBPR(U, I, d, reg=args.reg, dns=args.dns), adagrad, None
     if name == "apr":
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
+            _check_sparse_flags(args)
             clean = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
                                 dedup=args.dedup)
             adv = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
@@ -221,9 +236,14 @@ def main(argv=None):
 
     restore = (args.restore, args.restore_epoch) if args.restore else None
     if clean is not None:
+        # asasrec carries Adam slots into phase 2 (full-variable Saver,
+        # utils.py:306-315); apr resets them (embeddings-only Saver,
+        # evaluation_adv.py:235)
+        reset_opt = args.model not in ("asasrec", "asasrec2")
         best = fit_two_phase(clean, model, data, optimizer, cfg,
                              adv_epoch=args.adv_epoch, writer=writer,
-                             restore=restore, pretrain=args.pre or None)
+                             restore=restore, pretrain=args.pre or None,
+                             reset_opt=reset_opt)
     else:
         trainer = Trainer(model, data, optimizer, cfg, writer)
         if args.pre:

@@ -59,6 +59,10 @@ class Interactions:
     gt_in_train: np.ndarray  # [U] bool
     # Sampled eval negatives (eval_mode="sample"), or None for full-rank.
     test_negatives: Optional[np.ndarray] = None  # [U, 100] int32
+    # Raw per-item train interaction counts INCLUDING duplicate visits
+    # (reference NaiveBaselines.py:9 ``df.groupby("iid").size()``) — differs
+    # from a pairs_i bincount on duplicate-heavy check-in data.
+    item_count: Optional[np.ndarray] = None  # [I] int32
 
     @property
     def num_pairs(self) -> int:
@@ -177,6 +181,7 @@ def interactions_from_frame(
         test_item=test_item,
         gt_in_train=gt_in_train,
         test_negatives=test_negatives,
+        item_count=np.bincount(train_i, minlength=num_items).astype(np.int32),
     )
 
 
@@ -218,21 +223,55 @@ def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
 
 def _load_negative_file(path: str, num_users: int, eval_users: np.ndarray):
     """HeDataset ``.test.negative`` format (reference Dataset.py:161-172):
-    one line per test user (file order = user order), first field ignored,
-    remaining tab-separated fields are the negative item ids (+1 applied to
-    match the loader's id shift)."""
-    rows = []
+    one line per test user, first field ``(u,gt)``, remaining tab-separated
+    fields are the negative item ids (+1 applied to match the loader's id
+    shift).
+
+    Alignment: when the leading field parses as ``(u,...)`` the user id is
+    taken from it (the reference relies on file order matching test order —
+    fragile with a missing/extra line, which would silently shift every
+    row); otherwise file order is used and the line count must match the
+    eval-user count exactly.
+    """
+    rows, row_users = [], []
     with open(path) as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
-            if len(parts) > 1:
-                rows.append([int(x) + 1 for x in parts[1:]])
+            if len(parts) <= 1:
+                continue
+            u = None
+            head = parts[0].strip()
+            if head.startswith("(") and "," in head:
+                try:
+                    u = int(head[1:].split(",")[0]) + 1  # same +1 id shift
+                except ValueError:
+                    u = None
+            row_users.append(u)
+            rows.append([int(x) + 1 for x in parts[1:]])
     if not rows:
         return None
     k = min(len(r) for r in rows)
     negs = np.zeros((num_users, k), dtype=np.int32)
-    for u, r in zip(eval_users, rows):
-        negs[u] = r[:k]
+    if all(u is not None for u in row_users):
+        for u, r in zip(row_users, rows):
+            if not 0 <= u < num_users:
+                raise ValueError(
+                    f"{path}: negative line names user {u - 1}, outside the "
+                    f"dataset's {num_users - 1} users")
+            negs[u] = r[:k]
+        missing = set(eval_users.tolist()) - set(row_users)
+    else:
+        if len(rows) != len(eval_users):
+            raise ValueError(
+                f"{path}: {len(rows)} negative lines for {len(eval_users)} "
+                "eval users — order-based alignment would mis-assign rows")
+        for u, r in zip(eval_users, rows):
+            negs[u] = r[:k]
+        missing = set()
+    if missing:
+        raise ValueError(
+            f"{path}: no negative line for eval users {sorted(missing)[:5]}"
+            f"{'...' if len(missing) > 5 else ''}")
     return negs
 
 

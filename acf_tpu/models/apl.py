@@ -116,8 +116,11 @@ class APL(PairwiseModel):
 
         def fake_onehot_critic(g_params, users, key):
             """Critic-phase sampling: gumbel_softmax(softmax(logits / T))
-            (APL.py:200-203); constant wrt both players' gradients here."""
+            (APL.py:200-203); constant wrt both players' gradients here.
+            The pad column 0 is masked out — the reference's softmax spans
+            the real catalog only (APL.py:193-203)."""
             logits = g_params["P"][users] @ g_params["Q"].T
+            logits = logits.at[:, 0].set(-1e30)
             probs = jax.nn.softmax(logits / self.temperature, axis=-1)
             return gumbel_softmax(key, probs, self.temperature)
 
@@ -125,6 +128,7 @@ class APL(PairwiseModel):
             """Generator-phase sampling with the p_aux positive mixture
             (APL.py:193-198, 250-252). Differentiable wrt g_params."""
             logits = g_params["P"][users] @ g_params["Q"].T
+            logits = logits.at[:, 0].set(-1e30)  # no mass on the pad item
             probs = jax.nn.softmax(logits, axis=-1)
             b = users.shape[0]
             # uniform over UNIQUE positives (the reference builds p_aux from

@@ -27,7 +27,7 @@ import optax
 
 from acf_tpu.data.datasets import Interactions
 from acf_tpu.models.base import SequenceModel
-from acf_tpu.nn.layers import glorot_uniform
+from acf_tpu.nn.layers import dropout, glorot_uniform
 from acf_tpu.sampling.negatives import sample_pair_epoch, uniform_negatives
 
 
@@ -84,10 +84,8 @@ class Caser(SequenceModel):
             outs.append(jnp.max(conv, axis=1))  # [B, n_h]
         out_h = jnp.concatenate(outs, axis=-1)  # [B, n_h*L]
         out = jnp.concatenate([out_v, out_h], axis=-1)
-        if train and key is not None and self.dropout_rate > 0:
-            keep = 1.0 - self.dropout_rate
-            mask = jax.random.bernoulli(key, keep, out.shape)
-            out = jnp.where(mask, out / keep, 0.0)
+        if key is not None:
+            out = dropout(key, out, self.dropout_rate, train)
         z = jax.nn.relu(out @ params["fc1_w"] + params["fc1_b"])
         return jnp.concatenate([z, params["user_emb"][users]], axis=-1)
 

@@ -102,7 +102,13 @@ class IRGAN(PairwiseModel):
         lam_g = self.lamda_g / batch_size
 
         def g_row_logits(g_params, users):
-            return g_params["P"][users] @ g_params["Q"].T  # [B, I]
+            # the reference's softmax spans the iNum REAL items
+            # (IRGAN.py:186-192); our catalog carries the pad id 0, which
+            # must get no probability mass — otherwise Gumbel-max can emit
+            # item 0 as a fake/policy sample and the partition function is
+            # off by the pad column
+            logits = g_params["P"][users] @ g_params["Q"].T  # [B, I]
+            return logits.at[:, 0].set(-1e30)
 
         def d_loss_fn(d_params, users, items, labels):
             pu = d_params["P"][users]

@@ -46,7 +46,13 @@ class MostPopular(_NaiveBase):
     """Global popularity (NaiveBaselines.py:6-27)."""
 
     def init_params(self, key):
-        counts = np.bincount(self.data.pairs_i, minlength=self.num_items)
+        # raw interaction counts incl. duplicate visits (reference
+        # NaiveBaselines.py:9 groups the full df) — a unique-pair bincount
+        # reorders items on duplicate-heavy check-in datasets
+        if self.data.item_count is not None:
+            counts = self.data.item_count
+        else:
+            counts = np.bincount(self.data.pairs_i, minlength=self.num_items)
         return {"counts": jnp.asarray(counts.astype(np.float32))}
 
     def score_all(self, params, users, hists):

@@ -82,7 +82,11 @@ def recommend(model, params, data, users, k: int = 10, batch_users: int = 512):
         ub = jnp.asarray(users[s:s + batch_users])
         hb = jnp.asarray(data.hist[users[s:s + batch_users]])
         if fs is not None:
-            reprs = fs[0](params, ub, hb)
+            # HIGHEST like the evaluator (eval/full_rank.py): encoder matmuls
+            # otherwise truncate f32→bf16 on TPU and reorder near-tie items
+            # vs the evaluator's rankings
+            with jax.default_matmul_precision("highest"):
+                reprs = fs[0](params, ub, hb)
             table, bias = fs[1](params)
             sc, it = topk_factored(reprs, table, hb, bias=bias, k=k)
         else:

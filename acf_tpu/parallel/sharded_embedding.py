@@ -81,11 +81,10 @@ def _lookup_bwd(axis, res, ct):
 sharded_lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
-def row_normalize_local(g_local, eps: float = 1e-12):
-    """FGSM row normalization on a row shard — identical to the global
-    operation because rows are never split across devices."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(g_local), axis=-1, keepdims=True))
-    return g_local / jnp.maximum(norm, eps)
+# FGSM row normalization on a row shard is identical to the global operation
+# because rows are never split across devices — alias the single source of
+# truth so the two paths cannot desynchronize.
+from acf_tpu.models.base import row_normalize as row_normalize_local  # noqa: E402
 
 
 def make_sharded_bpr_step(mesh: Mesh, eps: float = 0.0, reg_adv: float = 1.0,

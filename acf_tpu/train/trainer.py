@@ -290,8 +290,13 @@ class Trainer:
                 if ndcg > self.best["ndcg"]:
                     self.best = {"ndcg": ndcg, "epoch": epoch,
                                  "result": res, "hr": hr, "auc": auc}
-                    self.writer.predictions(f"{tag}.hr", res.hr[:, cfg.topk - 1])
-                    self.writer.predictions(f"{tag}.ndcg", res.ndcg[:, cfg.topk - 1])
+                    # per-user dump column follows the reference: the
+                    # full-rank drivers write the K=100 (last) column
+                    # (evaluation_adv.py:292-294 raw_result[:, :, -1]); the
+                    # sampled/Keras driver writes @topk (run.py:263-265)
+                    col = (cfg.topk - 1) if cfg.eval_sampled else -1
+                    self.writer.predictions(f"{tag}.hr", res.hr[:, col])
+                    self.writer.predictions(f"{tag}.ndcg", res.ndcg[:, col])
             if cfg.ckpt_every and cfg.ckpt_path and epoch % cfg.ckpt_every == 0:
                 # full train state (params + opt slots + RNG), so a crashed
                 # run resumes bit-exactly — richer than the reference's
@@ -327,12 +332,23 @@ class Trainer:
         return np_, nq
 
     # ------------------------------------------------------------------
-    def switch_model(self, model):
-        """Swap the model (e.g. clean → adversarial for APR phase 2) while
-        keeping params and optimizer slots — the reference does this via a
-        graph rebuild plus checkpoint restore (run_adv.py:97-120)."""
+    def switch_model(self, model, reset_opt: bool = True):
+        """Swap the model (e.g. clean → adversarial for APR phase 2) keeping
+        params. ``reset_opt=True`` (the APR-MF protocol) resets optimizer
+        slots: the reference rebuilds the graph, runs
+        ``global_variables_initializer`` (fresh Adagrad accumulators) and
+        Saver-restores ONLY the embeddings (run_adv.py:114-120,
+        evaluation_adv.py:235). ``reset_opt=False`` carries slots across the
+        switch — the ASASRec protocol, whose full-variable Saver restores
+        Adam moments too (utils.py:306-315)."""
         old_eval_key = self._eval_key(self.model)
         self.model = model
+        if reset_opt:
+            if hasattr(model, "init_opt_state"):
+                self.opt_state = model.init_opt_state(self.optimizer,
+                                                      self.params)
+            else:
+                self.opt_state = self.optimizer.init(self.params)
         if hasattr(model, "make_epoch_fn"):
             self.epoch_fn = model.make_epoch_fn(
                 self.optimizer, self.cfg.batch_size, self.num_batches,
@@ -367,7 +383,8 @@ def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
                   config: TrainConfig, adv_epoch: int,
                   writer: Optional[OutputWriter] = None, tag: str = "",
                   restore: Optional[tuple] = None,
-                  pretrain: Optional[str] = None) -> dict:
+                  pretrain: Optional[str] = None,
+                  reset_opt: bool = True) -> dict:
     """APR protocol (reference run_adv.py:56-120): train the clean model for
     ``adv_epoch`` epochs, then continue adversarially to ``config.epochs``.
 
@@ -376,6 +393,11 @@ def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
     run_adv.py:97-120 / evaluation_adv.py:222-248): the snapshot is loaded
     into whichever phase ``epoch`` falls in and training continues from
     there.
+
+    ``reset_opt``: whether phase 2 starts with fresh optimizer slots
+    (True = APR-MF, whose Saver restores embeddings only,
+    evaluation_adv.py:235) or carries them (False = ASASRec, whose
+    full-variable Saver restores Adam moments, utils.py:306-315).
     """
     trainer = Trainer(clean_model, data, optimizer, config, writer)
     if pretrain:
@@ -388,10 +410,10 @@ def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,
         trainer.fit(epochs=adv_epoch, epoch_start=start, tag=tag, final=False)
         if config.ckpt_path:
             save_params(config.ckpt_path + "-pretrain", trainer.params)
-        trainer.switch_model(adv_model)
+        trainer.switch_model(adv_model, reset_opt=reset_opt)
         start = adv_epoch
     else:
-        trainer.switch_model(adv_model)
+        trainer.switch_model(adv_model, reset_opt=reset_opt)
         trainer.restore_checkpoint(restore[0])
         start = restore[1]
     best = trainer.fit(epochs=config.epochs, epoch_start=start, tag=tag)

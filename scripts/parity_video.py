@@ -51,8 +51,11 @@ def run(name, data, args):
         clean = SASRec(U, I, 64, maxlen=8)
         adv = SASRec(U, I, 64, maxlen=8, adversarial=True, eps=0.5,
                      reg_adv=1.0)
+        # asasrec carries Adam slots into phase 2 (reference full-var Saver,
+        # utils.py:306-315) — unlike apr, which resets Adagrad accumulators
         best = fit_two_phase(clean, adv, data, adam, cfg,
-                             adv_epoch=args.epochs // 2, writer=writer)
+                             adv_epoch=args.epochs // 2, writer=writer,
+                             reset_opt=False)
     else:
         raise ValueError(name)
     return {"model": name, "hr10": best.get("hr"), "ndcg10": best.get("ndcg"),

@@ -101,3 +101,13 @@ def test_cli_two_phase_restore_into_adv_phase(tmp_path):
                            "--restore", f"{ck}/video/apr-1",
                            "--restore_epoch", "2"])
     assert np.isfinite(resumed["ndcg"])
+
+
+def test_cli_sparse_rejects_unsupported_flags(tmp_path):
+    import pytest
+    with pytest.raises(SystemExit, match="sparse"):
+        main(ARGS + ["--model", "apr", "--sparse", "--adv", "random",
+                     "--opath", str(tmp_path) + "/"])
+    with pytest.raises(SystemExit, match="sparse"):
+        main(ARGS + ["--model", "bpr", "--sparse", "--dns", "4",
+                     "--opath", str(tmp_path) + "/"])

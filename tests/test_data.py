@@ -150,3 +150,75 @@ def test_truncated_hist_eval_bookkeeping_consistent():
     full = interactions_from_frame(df, reindex=False)
     assert full.uniq_count[1] == 39
     assert full.num_eval_candidates()[1] == full.num_items - 1 - 39 - 1
+
+
+def test_negative_file_aligned_by_user_field(tmp_path):
+    """Lines carrying a parseable "(u,gt)" head are assigned by USER, not
+    file order — a shuffled file must still land on the right rows."""
+    train = "\n".join(f"{u}\t{i}\t1\t{t}" for t, (u, i) in enumerate(
+        [(0, 3), (0, 4), (1, 6), (1, 7), (2, 3), (2, 8)]))
+    (tmp_path / "toy.train.rating").write_text(train + "\n")
+    (tmp_path / "toy.test.rating").write_text(
+        "0\t9\t1\t100\n1\t5\t1\t100\n2\t6\t1\t100\n")
+    # shuffled order: users 2, 0, 1
+    (tmp_path / "toy.test.negative").write_text(
+        "(2,6)\t5\t7\n(0,9)\t1\t2\n(1,5)\t3\t4\n")
+    d = load_dataset("toy", str(tmp_path), eval_mode="sample")
+    np.testing.assert_array_equal(d.test_negatives[1], [2, 3])  # user 0 -> row 1
+    np.testing.assert_array_equal(d.test_negatives[2], [4, 5])
+    np.testing.assert_array_equal(d.test_negatives[3], [6, 8])
+
+
+def test_negative_file_count_mismatch_raises(tmp_path):
+    """Without user fields, a line-count mismatch must be an error, not a
+    silent truncation that mis-assigns negatives."""
+    import pytest
+
+    train = "\n".join(f"{u}\t{i}\t1\t{t}" for t, (u, i) in enumerate(
+        [(0, 3), (0, 4), (1, 6), (1, 7), (2, 3), (2, 8)]))
+    (tmp_path / "toy.train.rating").write_text(train + "\n")
+    (tmp_path / "toy.test.rating").write_text(
+        "0\t9\t1\t100\n1\t5\t1\t100\n2\t6\t1\t100\n")
+    (tmp_path / "toy.test.negative").write_text("x\t1\t2\nx\t3\t4\n")  # 2 != 3
+    with pytest.raises(ValueError, match="negative lines"):
+        load_dataset("toy", str(tmp_path), eval_mode="sample")
+
+
+def test_item_count_keeps_duplicates():
+    """item_count follows the raw df (reference NaiveBaselines.py:9
+    groupby size) — duplicate visits count, unlike the unique-pair bincount."""
+    import pandas as pd
+
+    from acf_tpu.data import interactions_from_frame
+
+    # user 1 visits item 2 three times, item 3 once; user 2 visits item 3 once
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 1, 2, 2],
+        "iid": [2, 2, 2, 3, 4, 3, 4],  # last per user held out
+        "timestamp": range(7),
+    })
+    d = interactions_from_frame(df, reindex=False)
+    assert d.item_count[2] == 3        # duplicates kept
+    assert d.item_count[3] == 2        # u1 + u2
+    # unique-pair bincount would say 1 for item 2's visits by u1
+    assert np.bincount(d.pairs_i, minlength=d.num_items)[2] == 1
+
+
+def test_most_popular_orders_by_raw_counts():
+    import jax
+    import pandas as pd
+
+    from acf_tpu.data import interactions_from_frame
+    from acf_tpu.models.naive import MostPopular
+
+    # item 2: 3 visits from one user; item 3: 2 visits from two users
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 1, 2, 2],
+        "iid": [2, 2, 2, 3, 4, 3, 4],
+        "timestamp": range(7),
+    })
+    d = interactions_from_frame(df, reindex=False)
+    m = MostPopular(d.num_users, d.num_items, 4, data=d)
+    params = m.init_params(jax.random.PRNGKey(0))
+    counts = np.asarray(params["counts"])
+    assert counts[2] > counts[3]  # raw counts; unique-pair counts would tie 1:2

@@ -80,11 +80,11 @@ def test_naive_baselines():
         hr, ndcg, auc = res.at_k(10)
         assert 0 <= hr <= 1
         if cls is MostPopular:
-            # scores are exactly the global item counts
+            # scores are exactly the RAW global interaction counts incl.
+            # duplicate visits (reference NaiveBaselines.py:9 groupby size)
             row = np.asarray(model.score_all(
                 tr.params, np.array([1, 2]), None))[0]
-            np.testing.assert_array_equal(
-                row, np.bincount(data.pairs_i, minlength=data.num_items))
+            np.testing.assert_array_equal(row, data.item_count)
         if cls is AlreadyVisit:
             # train items are excluded from candidates, so AlreadyVisit
             # scores every candidate 0 → gt ties with everything
@@ -98,3 +98,35 @@ def test_irgan_pairwise_discriminator():
                  TrainConfig(batch_size=32, verbose=10**9))
     s = tr.run_epoch()
     assert np.isfinite(s["loss"]) and np.isfinite(s["d_loss"])
+
+
+def test_gan_pad_item_gets_no_mass():
+    """The generators' softmax/sampling must exclude the pad item 0
+    (the reference's catalogs have no pad id; IRGAN.py:186-192,
+    APL.py:193-203): after a training epoch the pad row of every table that
+    only receives gradient when item 0 is sampled must still equal its init."""
+    import jax
+
+    data = synthetic_data(seed=15)
+
+    model = IRGAN(data.num_users, data.num_items, 8)
+    init = model.init_params(jax.random.PRNGKey(2019 + 1))  # trainer splits
+    tr = Trainer(model, data, optax.sgd(0.001),
+                 TrainConfig(batch_size=32, verbose=10**9, seed=2019))
+    q0_before = np.asarray(tr.params["g"]["Q"][0]).copy()
+    d0_before = np.asarray(tr.params["d"]["Q"][0]).copy()
+    for _ in range(3):
+        tr.run_epoch()
+    np.testing.assert_array_equal(np.asarray(tr.params["g"]["Q"][0]), q0_before)
+    np.testing.assert_array_equal(np.asarray(tr.params["d"]["Q"][0]), d0_before)
+    del init
+
+    apl = APL(data.num_users, data.num_items, 8)
+    tra = Trainer(apl, data, optax.sgd(0.05),
+                  TrainConfig(batch_size=32, verbose=10**9))
+    c0 = np.asarray(tra.params["c"]["Q"][0]).copy()
+    for _ in range(3):
+        tra.run_epoch()
+    # critic pad row only moves if the fake one-hot leaks mass onto col 0
+    np.testing.assert_allclose(np.asarray(tra.params["c"]["Q"][0]), c0,
+                               atol=1e-7)

@@ -89,3 +89,62 @@ def test_switch_model_resets_best_tracking():
     tr.switch_model(adv)
     assert tr.best["ndcg"] == -1.0 and tr.best["result"] is None
     assert tr.evaluator is ev  # same eval geometry -> evaluator reused
+
+
+def test_switch_model_opt_slots():
+    """Default switch resets optimizer slots (APR-MF protocol: reference
+    re-inits all vars and restores embeddings only, evaluation_adv.py:235);
+    reset_opt=False carries them (ASASRec full-var Saver, utils.py:306-315)."""
+    import jax
+    import optax
+    data = synthetic_data(seed=8)
+    clean = MFBPR(data.num_users, data.num_items, 8)
+    adv = MFBPR(data.num_users, data.num_items, 8, adversarial=True)
+    opt = optax.adagrad(0.1, initial_accumulator_value=0.1)
+    tr = Trainer(clean, data, opt, TrainConfig(batch_size=32))
+    for _ in range(3):
+        tr.run_epoch()
+    grown = jax.tree.leaves(tr.opt_state)
+    assert any(np.asarray(x).max() > 0.1 + 1e-6 for x in grown
+               if hasattr(x, "max"))
+
+    # carry: slots unchanged
+    carried_before = jax.tree.map(np.asarray, tr.opt_state)
+    tr.switch_model(adv, reset_opt=False)
+    for a, b in zip(jax.tree.leaves(carried_before),
+                    jax.tree.leaves(jax.tree.map(np.asarray, tr.opt_state))):
+        np.testing.assert_array_equal(a, b)
+
+    # reset (default): accumulators back at the initial value
+    tr.switch_model(adv)
+    fresh = opt.init(tr.params)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, tr.opt_state)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, fresh))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_best_dump_column_full_vs_sampled(tmp_path):
+    """Full-rank runs dump the K=100 (last) per-user column
+    (evaluation_adv.py:292-294); sampled runs dump @topk (run.py:263-265)."""
+    from acf_tpu.utils.io import OutputWriter
+
+    data = synthetic_data(seed=9)
+    # sampled negatives for the sampled-mode variant
+    from acf_tpu.data.datasets import _sample_test_negatives
+    data.test_negatives = _sample_test_negatives(
+        data.num_users, data.num_items, data.pairs_u, data.pairs_i,
+        data.test_item, data.pairs_i, 10, seed=0)
+
+    for sampled in (False, True):
+        out = tmp_path / ("s" if sampled else "f")
+        model = MFBPR(data.num_users, data.num_items, 8)
+        tr = Trainer(model, data, optax.adagrad(0.1),
+                     TrainConfig(batch_size=32, verbose=1, topk=5,
+                                 eval_sampled=sampled),
+                     writer=OutputWriter(str(out), "run"))
+        tr.fit(epochs=1)
+        res = tr.best["result"]
+        col = 4 if sampled else -1
+        expect = np.asarray(res.hr[:, col])
+        got = np.loadtxt(out / "run.hr")
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
