@@ -34,11 +34,13 @@ def build_parser():
     p.add_argument("--path", type=str, default="", help="data directory root")
     p.add_argument("--opath", type=str, default="out/", help="output dir")
     p.add_argument("--model", type=str, default="bpr")
-    p.add_argument("--data", type=str, default="video")
+    p.add_argument("--data", "--dataset", dest="data", type=str,
+                   default="video")
     p.add_argument("--d", "--embed_size", dest="d", type=int, default=64)
     p.add_argument("--maxlen", type=int, default=50)
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--adv_epoch", type=int, default=50,
+    p.add_argument("--adv_epoch", "--adv_epochs", dest="adv_epoch", type=int,
+                   default=50,
                    help="epoch at which the adversarial phase starts")
     p.add_argument("--bs", "--batch_size", dest="bs", type=int, default=512)
     p.add_argument("--lr", type=float, default=0.05)
@@ -88,9 +90,14 @@ def build_parser():
     p.add_argument("--w", type=float, default=0.001,
                    help="popularity-discriminator weight")
     p.add_argument("--pp", type=float, default=0.2, help="popularity percent")
-    p.add_argument("--eval_mode", type=str, default="all",
-                   choices=["all", "sample"])
-    p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--eval_mode", "--eval", dest="eval_mode", type=str,
+                   default="all", choices=["all", "sample"])
+    p.add_argument("--verbose", "--verbose_eval", dest="verbose", type=int,
+                   default=1)
+    p.add_argument("--save_model", type=int, default=0,
+                   help="1 = save params on every new best NDCG (.best.npz) "
+                        "and after every epoch (.last.npz) under h5/ "
+                        "(reference run.py:257-272)")
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--ckpt", type=int, default=0)
     p.add_argument("--seed", type=int, default=2019)
@@ -226,12 +233,17 @@ def main(argv=None):
     epochs = args.epochs
     if args.model in ("pop", "mrv", "mfv", "av"):
         epochs = 1  # naive baselines need one pass (run.py:275-276)
+    if args.save_model:
+        import os
+        os.makedirs("h5", exist_ok=True)  # reference save dir (run.py:260)
     cfg = TrainConfig(batch_size=args.bs, epochs=epochs,
                       verbose=args.verbose, topk=args.topk,
                       eval_sampled=(args.eval_mode == "sample"),
                       ckpt_every=args.ckpt,
                       ckpt_path=(f"{args.ckpt_dir}/{args.data}/{args.model}"
                                  if args.ckpt else None),
+                      save_model_path=(f"h5/{run_name}" if args.save_model
+                                       else None),
                       seed=args.seed)
 
     restore = (args.restore, args.restore_epoch) if args.restore else None

@@ -49,6 +49,10 @@ class TrainConfig:
     eval_sampled: bool = False  # rank against sampled negatives
                                 # (reference --eval_mode sample)
     membership_len: Optional[int] = None  # cap on hist cols used for rejection
+    # --save_model protocol (reference run.py:257-272): save params on every
+    # new best NDCG to <save_model_path>.best.npz and after every epoch to
+    # <save_model_path>.last.npz. None = off.
+    save_model_path: Optional[str] = None
 
 
 def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
@@ -297,6 +301,10 @@ class Trainer:
                     col = (cfg.topk - 1) if cfg.eval_sampled else -1
                     self.writer.predictions(f"{tag}.hr", res.hr[:, col])
                     self.writer.predictions(f"{tag}.ndcg", res.ndcg[:, col])
+                    if cfg.save_model_path:  # reference .best.h5, run.py:260-262
+                        save_params(cfg.save_model_path + ".best", self.params)
+            if cfg.save_model_path:  # reference .last.h5, run.py:271-272
+                save_params(cfg.save_model_path + ".last", self.params)
             if cfg.ckpt_every and cfg.ckpt_path and epoch % cfg.ckpt_every == 0:
                 # full train state (params + opt slots + RNG), so a crashed
                 # run resumes bit-exactly — richer than the reference's

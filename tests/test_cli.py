@@ -111,3 +111,23 @@ def test_cli_sparse_rejects_unsupported_flags(tmp_path):
     with pytest.raises(SystemExit, match="sparse"):
         main(ARGS + ["--model", "bpr", "--sparse", "--dns", "4",
                      "--opath", str(tmp_path) + "/"])
+
+
+def test_cli_save_model_and_aliases(tmp_path):
+    """--save_model writes .best/.last param snapshots (reference run.py:
+    257-272); --dataset/--adv_epochs/--eval/--verbose_eval alias the
+    run_adv_ori.py flag names."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best = main(["--dataset", "video", "--path", "/root/reference/data",
+                     "--nrows", "2000", "--epochs", "2", "--d", "8",
+                     "--bs", "64", "--maxlen", "5", "--model", "bpr",
+                     "--save_model", "1", "--verbose_eval", "1",
+                     "--eval", "all", "--opath", str(tmp_path) + "/"])
+        assert best["epoch"] >= 0
+        h5 = os.listdir(tmp_path / "h5")
+        assert any(f.endswith(".best.npz") for f in h5), h5
+        assert any(f.endswith(".last.npz") for f in h5), h5
+    finally:
+        os.chdir(cwd)
