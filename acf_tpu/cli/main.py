@@ -51,6 +51,9 @@ def build_parser():
     p.add_argument("--eps_dense", type=float, default=0.0)
     p.add_argument("--eps_conv", type=float, default=0.0)
     p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
+    p.add_argument("--adv_steps", type=int, default=1,
+                   help="PGD-style multi-step perturbation for apr (1 = the "
+                        "reference's single FGSM step; MSAP arXiv:2010.01329)")
     p.add_argument("--dns", type=int, default=1,
                    help="dynamic negative sampling: candidates per positive")
     p.add_argument("--loss", type=str, default="",
@@ -154,7 +157,8 @@ def make_model(name, data, args):
             return adv, adagrad, clean
         clean = MFBPR(U, I, d, reg=args.reg, dns=args.dns)
         adv = MFBPR(U, I, d, reg=args.reg, adversarial=True, eps=args.eps,
-                    reg_adv=args.reg_adv, adv_mode=args.adv, dns=args.dns)
+                    reg_adv=args.reg_adv, adv_mode=args.adv, dns=args.dns,
+                    adv_steps=args.adv_steps)
         return adv, adagrad, clean
     if name in ("amf", "amf2"):
         base = PointwiseMF(U, I, d)

@@ -45,6 +45,10 @@ class MFBPR(PairwiseModel):
     init_std: float = 0.01
     dns: int = 1  # >1 = hardest-of-k dynamic negative sampling
                   # (reference evaluation_adv.py:349-367)
+    adv_steps: int = 1  # >1 = multi-step (PGD-style) perturbation: iterate
+                        # grad-at-perturbed-point → ε·normalize, an extension
+                        # beyond the reference's single FGSM step (MSAP,
+                        # arXiv:2010.01329)
 
     def init_params(self, key):
         kp, kq = jax.random.split(key)
@@ -91,23 +95,45 @@ class MFBPR(PairwiseModel):
         return loss, reg_term, acc
 
     def fgsm_deltas(self, params, users, pos, neg, key=None):
-        """ε-scaled row-normalized gradient of the *clean* BPR loss wrt the
-        full embedding tables (evaluation_adv.py:192-203). Rows outside the
-        batch have zero gradient and therefore zero delta."""
+        """Perturbation tables for the adversarial objective.
+
+        ``adv_steps=1`` (reference semantics, evaluation_adv.py:192-203):
+        ε-scaled row-normalized gradient of the *clean* BPR loss wrt the full
+        embedding tables. Rows outside the batch have zero gradient and
+        therefore zero delta.
+
+        ``adv_steps>1`` extends this to PGD-style multi-step perturbations
+        (MSAP, arXiv:2010.01329): ``adv_steps`` iterations of step size
+        ε/adv_steps, each taking the gradient AT the perturbed point, with
+        per-row projection back into the ε-ball. At adv_steps=1 this reduces
+        exactly to the reference's single FGSM step.
+        """
         if self.adv_mode == "random":
             kp, kq = jax.random.split(key)
             gP = _trunc_normal(kp, params["P"].shape, 0.01)
             gQ = _trunc_normal(kq, params["Q"].shape, 0.01)
-        else:
-            def clean(prm):
-                pos_s, _, _ = self._pair_scores(prm, users, pos)
-                neg_s, _, _ = self._pair_scores(prm, users, neg)
-                return bpr_pair_loss(pos_s, neg_s)
+            return (self.eps * row_normalize(jax.lax.stop_gradient(gP)),
+                    self.eps * row_normalize(jax.lax.stop_gradient(gQ)))
 
-            g = jax.grad(clean)(params)
-            gP, gQ = g["P"], g["Q"]
-        dP = self.eps * row_normalize(jax.lax.stop_gradient(gP))
-        dQ = self.eps * row_normalize(jax.lax.stop_gradient(gQ))
+        def clean_at(prm, dP, dQ):
+            pos_s, _, _ = self._pair_scores(prm, users, pos, dP, dQ)
+            neg_s, _, _ = self._pair_scores(prm, users, neg, dP, dQ)
+            return bpr_pair_loss(pos_s, neg_s)
+
+        def project(d):
+            # per-row L2 projection into the ε-ball (no-op at adv_steps=1)
+            n = jnp.sqrt(jnp.sum(jnp.square(d), -1, keepdims=True))
+            return d * jnp.minimum(1.0, self.eps / jnp.maximum(n, 1e-12))
+
+        alpha = self.eps / self.adv_steps
+        dP = jnp.zeros_like(params["P"])
+        dQ = jnp.zeros_like(params["Q"])
+        for _ in range(self.adv_steps):
+            g = jax.grad(clean_at)(params, dP, dQ)
+            dP = project(dP + alpha * row_normalize(
+                jax.lax.stop_gradient(g["P"])))
+            dQ = project(dQ + alpha * row_normalize(
+                jax.lax.stop_gradient(g["Q"])))
         return dP, dQ
 
     def adv_encoders(self):
@@ -126,9 +152,29 @@ class MFBPR(PairwiseModel):
         opt_loss = loss + self.reg * reg_term
         aux = {"loss": loss, "acc": acc}
         if self.adversarial:
-            dP, dQ = self.fgsm_deltas(params, users, pos, neg, key)
-            pos_a, _, _ = self._pair_scores(params, users, pos, dP, dQ)
-            neg_a, _, _ = self._pair_scores(params, users, neg, dP, dQ)
+            if self.adv_mode == "grad" and self.adv_steps == 1:
+                # hot path: gather-then-normalize instead of materializing
+                # two full delta tables — row_normalize commutes with the
+                # row gather, so the perturbed scores are identical to
+                # indexing fgsm_deltas() tables while skipping two
+                # table-sized writes + reads per step
+                def clean(prm):
+                    pos_s, _, _ = self._pair_scores(prm, users, pos)
+                    neg_s, _, _ = self._pair_scores(prm, users, neg)
+                    return bpr_pair_loss(pos_s, neg_s)
+
+                g = jax.lax.stop_gradient(jax.grad(clean)(params))
+                dPu = self.eps * row_normalize(g["P"][users])
+                dQp = self.eps * row_normalize(g["Q"][pos])
+                dQn = self.eps * row_normalize(g["Q"][neg])
+                pos_a = jnp.sum((params["P"][users] + dPu)
+                                * (params["Q"][pos] + dQp), -1)
+                neg_a = jnp.sum((params["P"][users] + dPu)
+                                * (params["Q"][neg] + dQn), -1)
+            else:
+                dP, dQ = self.fgsm_deltas(params, users, pos, neg, key)
+                pos_a, _, _ = self._pair_scores(params, users, pos, dP, dQ)
+                neg_a, _, _ = self._pair_scores(params, users, neg, dP, dQ)
             loss_adv = bpr_pair_loss(pos_a, neg_a)
             # The reference adds the clean-embedding reg term a second time
             # (evaluation_adv.py:175-177 reuses the clean lookups).

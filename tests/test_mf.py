@@ -101,3 +101,48 @@ def test_pointwise_mf_loss():
     logits = np.concatenate([ps, ns]); labels = np.array([1, 1, 0, 0.])
     oracle = np.mean(np.logaddexp(0, logits) - labels * logits)
     np.testing.assert_allclose(float(loss), oracle, rtol=1e-5)
+
+
+def test_row_level_adv_path_matches_table_path():
+    """The gather-then-normalize hot path in loss() must produce EXACTLY the
+    same adversarial loss as scoring with full fgsm_deltas tables."""
+    model, params, u, i, j = setup(adversarial=True)
+    batch = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j))
+    key = jax.random.PRNGKey(0)
+    total, aux = model.loss(params, batch, key)
+
+    dP, dQ = model.fgsm_deltas(params, *batch)
+    pos_a, _, _ = model._pair_scores(params, batch[0], batch[1], dP, dQ)
+    neg_a, _, _ = model._pair_scores(params, batch[0], batch[2], dP, dQ)
+    from acf_tpu.models.base import bpr_pair_loss
+    expect_adv = bpr_pair_loss(pos_a, neg_a)
+    np.testing.assert_allclose(float(aux["loss_adv"]), float(expect_adv),
+                               rtol=1e-6)
+
+
+def test_multi_step_adv_deltas():
+    """adv_steps>1 (PGD-style): rows stay inside the eps-ball, perturbation
+    differs from the single-step delta, and training still runs."""
+    from acf_tpu.models.mf import MFBPR
+
+    model1, params, u, i, j = setup(adversarial=True)
+    model3 = MFBPR(model1.num_users, model1.num_items, model1.dim,
+                   adversarial=True, eps=model1.eps, reg_adv=model1.reg_adv,
+                   adv_steps=3)
+    batch = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j))
+    dP1, dQ1 = model1.fgsm_deltas(params, *batch)
+    dP3, dQ3 = model3.fgsm_deltas(params, *batch)
+    for d in (dP3, dQ3):
+        norms = np.sqrt(np.square(np.asarray(d)).sum(-1))
+        assert norms.max() <= model3.eps + 1e-5
+    assert not np.allclose(np.asarray(dP1), np.asarray(dP3))
+    # batch rows with nonzero gradient get nonzero perturbation (a row whose
+    # pos and neg items coincide can legitimately have zero grad every step)
+    touched = np.unique(np.asarray(u))
+    nP3 = np.sqrt(np.square(np.asarray(dP3)).sum(-1))
+    assert nP3[touched].max() > 0.1
+    untouched = sorted(set(range(20)) - set(touched.tolist()))
+    assert nP3[untouched].max() == 0.0
+
+    loss, aux = model3.loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and np.isfinite(float(aux["loss_adv"]))
