@@ -184,7 +184,7 @@ def make_model(name, data, args):
         adv = SASRec(U, I, d, maxlen=args.maxlen, adversarial=True,
                      adv_mode=name, eps=args.eps, reg_adv=args.reg_adv,
                      eps_pos=args.eps_pos, eps_dense=args.eps_dense,
-                     eps_conv=args.eps_conv)
+                     eps_conv=args.eps_conv, adv_steps=args.adv_steps)
         return adv, optax.adam(0.001, b2=0.98), clean
     if name == "gru4rec":
         return GRU4Rec(U, I, d, maxlen=args.maxlen,

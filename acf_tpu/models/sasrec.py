@@ -74,6 +74,8 @@ class SASRec(SequenceModel):
     eps_pos: float = 0.0    # run_adv_ori.py --eps_pos (asasrec2)
     eps_dense: float = 0.0  # run_adv_ori.py --eps_dense
     eps_conv: float = 0.0   # run_adv_ori.py --eps_conv
+    adv_steps: int = 1      # >1 = PGD-style multi-step perturbation
+                            # (MSAP, arXiv:2010.01329); 1 = reference FGSM
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -179,33 +181,51 @@ class SASRec(SequenceModel):
         loss, _ = self._pointwise_loss(reprs, params["item_emb"], pos, neg)
         return loss
 
-    def _delta_tree(self, params, seq, pos, neg):
-        """FGSM deltas as a zero-filled copy of ``params`` with perturbed
-        leaves set (SASRec.py:368-404)."""
-        g = jax.grad(self._clean_loss_fn)(params, seq, pos, neg)
-        g = jax.lax.stop_gradient(g)
-        delta = jax.tree.map(jnp.zeros_like, params)
-        delta["item_emb"] = self.eps * _tf_l2_normalize(g["item_emb"])
+    def _eps_tree(self, params):
+        """Per-leaf perturbation radii as a pytree of python floats: 0.0 for
+        leaves the protocol leaves clean (the reference assigns dense deltas
+        ONLY for the Q projection, SASRec.py:378-387; delta_denseK/V are
+        created at SASRec.py:133-135 but never written)."""
+        eps = jax.tree.map(lambda _: 0.0, params)
+        eps["item_emb"] = self.eps
         if self.adv_mode == "asasrec2":
             if self.eps_pos:
-                delta["pos_emb"] = self.eps_pos * _tf_l2_normalize(g["pos_emb"])
+                eps["pos_emb"] = self.eps_pos
             for bi in range(self.num_blocks):
                 if self.eps_dense:
-                    # the reference assigns dense deltas ONLY for the Q
-                    # projection (SASRec.py:378-387); delta_denseK/V are
-                    # created (SASRec.py:133-135) but never written, so they
-                    # stay zero — replicated here for parity
                     for name in ("wq",):
-                        delta["blocks"][bi][name] = {
-                            "w": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["w"]),
-                            "b": self.eps_dense * _tf_l2_normalize(g["blocks"][bi][name]["b"]),
-                        }
+                        eps["blocks"][bi][name] = {"w": self.eps_dense,
+                                                   "b": self.eps_dense}
                 if self.eps_conv:
                     for name in ("conv1", "conv2"):
-                        delta["blocks"][bi][name] = {
-                            "w": self.eps_conv * _tf_l2_normalize(g["blocks"][bi][name]["w"]),
-                            "b": self.eps_conv * _tf_l2_normalize(g["blocks"][bi][name]["b"]),
-                        }
+                        eps["blocks"][bi][name] = {"w": self.eps_conv,
+                                                   "b": self.eps_conv}
+        return eps
+
+    def _delta_tree(self, params, seq, pos, neg):
+        """FGSM deltas as a zero-filled copy of ``params`` with perturbed
+        leaves set (SASRec.py:368-404). ``adv_steps>1`` iterates PGD-style:
+        step size ε/adv_steps per leaf, gradient re-taken at the perturbed
+        point, per-leaf projection back into its ε-ball; reduces exactly to
+        the reference's single FGSM step at adv_steps=1."""
+        eps = self._eps_tree(params)
+
+        def project(d, e):
+            if e == 0.0:
+                return jnp.zeros_like(d)
+            axis = 1 if d.ndim >= 2 else None
+            n = jnp.sqrt(jnp.sum(jnp.square(d), axis=axis, keepdims=True))
+            return d * jnp.minimum(1.0, e / jnp.maximum(n, 1e-12))
+
+        delta = jax.tree.map(jnp.zeros_like, params)
+        for _ in range(self.adv_steps):
+            shifted = jax.tree.map(jnp.add, params, delta)
+            g = jax.lax.stop_gradient(
+                jax.grad(self._clean_loss_fn)(shifted, seq, pos, neg))
+            delta = jax.tree.map(
+                lambda d, gl, e: project(
+                    d + (e / self.adv_steps) * _tf_l2_normalize(gl), e),
+                delta, g, eps)
         return delta
 
     def loss(self, params, batch, key):

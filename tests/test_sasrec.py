@@ -107,3 +107,28 @@ def test_score_all_matches_score_some():
     for b in range(2):
         np.testing.assert_allclose(some[b], all_scores[b, np.asarray(items)[b]],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_multi_step_deltas_sasrec():
+    """adv_steps>1: deltas stay in the per-leaf eps-ball, differ from the
+    single step, and never touch zero-eps leaves; adv_steps=1 keeps the
+    reference FGSM exactly (covered by test_loss_finite_and_deltas)."""
+    data = seq_data()
+    m1 = make_model(data, adversarial=True, eps=0.5)
+    m3 = make_model(data, adversarial=True, eps=0.5, adv_steps=3)
+    params = m1.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4]])
+    pos = jnp.asarray([[0, 0, 0, 1, 2, 3, 4, 5]])
+    neg = jnp.asarray([[0, 0, 0, 9, 9, 9, 9, 9]])
+    d1 = m1._delta_tree(params, seq, pos, neg)
+    d3 = m3._delta_tree(params, seq, pos, neg)
+    n3 = np.linalg.norm(np.asarray(d3["item_emb"]), axis=1)
+    assert n3.max() <= 0.5 + 1e-5 and n3.max() > 0.1
+    assert not np.allclose(np.asarray(d1["item_emb"]),
+                           np.asarray(d3["item_emb"]))
+    # zero-eps leaves (asasrec perturbs the item table only) stay zero
+    assert float(jnp.abs(d3["pos_emb"]).max()) == 0.0
+    assert float(jnp.abs(d3["blocks"][0]["wq"]["w"]).max()) == 0.0
+    loss, aux = m3.loss(params, (jnp.asarray([1]), seq, pos, neg),
+                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and np.isfinite(float(aux["loss_adv"]))
