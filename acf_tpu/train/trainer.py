@@ -322,7 +322,11 @@ class Trainer:
         hr_k = res.hr.mean(0)
         ndcg_k = res.ndcg.mean(0)
         auc = float(res.auc.mean())
-        for k in range(hr_k.shape[0]):
+        # the reference sweeps K=1..100 in full-rank mode but only K=1..10
+        # in sampled mode (utils.py:344 ``K = 100 if eval_mode == "all"
+        # else 10``)
+        k_max = 10 if self.cfg.eval_sampled else hr_k.shape[0]
+        for k in range(min(k_max, hr_k.shape[0])):
             self.writer.line("K = %d: HR = %.4f, NDCG = %.4f AUC = %.4f"
                              % (k + 1, hr_k[k], ndcg_k[k], auc))
 

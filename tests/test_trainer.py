@@ -148,3 +148,26 @@ def test_best_dump_column_full_vs_sampled(tmp_path):
         expect = np.asarray(res.hr[:, col])
         got = np.loadtxt(out / "run.hr")
         np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_sampled_sweep_caps_at_k10(tmp_path):
+    """Sampled-mode terminal sweep prints K=1..10 only (utils.py:344);
+    full-rank prints K=1..100."""
+    from acf_tpu.utils.io import OutputWriter
+    from acf_tpu.data.datasets import _sample_test_negatives
+
+    data = synthetic_data(seed=10)
+    data.test_negatives = _sample_test_negatives(
+        data.num_users, data.num_items, data.pairs_u, data.pairs_i,
+        data.test_item, data.pairs_i, 10, seed=0)
+    for sampled, expect in ((True, 10), (False, 100)):
+        out = tmp_path / ("s" if sampled else "f")
+        model = MFBPR(data.num_users, data.num_items, 8)
+        tr = Trainer(model, data, optax.adagrad(0.1),
+                     TrainConfig(batch_size=32, verbose=1,
+                                 eval_sampled=sampled),
+                     writer=OutputWriter(str(out), "run"))
+        tr.fit(epochs=1)
+        lines = (out / "run.out").read_text().splitlines()
+        ks = [ln for ln in lines if ln.startswith("K = ")]
+        assert len(ks) == expect, (sampled, len(ks))
