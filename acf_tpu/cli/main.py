@@ -120,6 +120,10 @@ def _check_sparse_flags(args):
         raise SystemExit("--sparse does not support --dns > 1 "
                          "(no DNS candidate selection in the sparse step); "
                          "drop --sparse or --dns")
+    if args.adv_steps > 1:
+        raise SystemExit("--sparse does not support --adv_steps > 1 "
+                         "(single-step FGSM only in the sparse step); "
+                         "drop --sparse or --adv_steps")
 
 
 def make_model(name, data, args):
