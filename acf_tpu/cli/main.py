@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("--adv_steps", type=int, default=1,
                    help="PGD-style multi-step perturbation for apr (1 = the "
                         "reference's single FGSM step; MSAP arXiv:2010.01329)")
+    p.add_argument("--fgsm", action="store_true",
+                   help="wrap the chosen model in embedding-space FGSM/PGD "
+                        "adversarial training (APR recipe generalized to the "
+                        "whole zoo) with --adv_epoch two-phase staging")
     p.add_argument("--dns", type=int, default=1,
                    help="dynamic negative sampling: candidates per positive")
     p.add_argument("--loss", type=str, default="",
@@ -228,6 +232,18 @@ def main(argv=None):
                         eval_mode=args.eval_mode,
                         nrows=args.nrows or None)
     model, optimizer, clean = make_model(args.model, data, args)
+    if args.fgsm:
+        from acf_tpu.adversarial import FGSMAdversarial
+        if clean is not None or args.model in (
+                "amf", "amf2", "abpr", "aneumf", "irgan", "apl",
+                "pop", "mrv", "mfv", "av"):
+            raise SystemExit(f"--fgsm does not apply to {args.model!r} "
+                             "(already adversarial, or no embedding tables)")
+        clean = model
+        model = FGSMAdversarial(data.num_users, data.num_items, args.d,
+                                base=clean, eps=args.eps,
+                                reg_adv=args.reg_adv,
+                                adv_steps=args.adv_steps)
 
     run_name = "%s_%s_d%d_%s" % (
         args.data, args.model, args.d,

@@ -131,3 +131,16 @@ def test_cli_save_model_and_aliases(tmp_path):
         assert any(f.endswith(".last.npz") for f in h5), h5
     finally:
         os.chdir(cwd)
+
+
+def test_cli_fgsm_wrapper(tmp_path):
+    best = main(ARGS + ["--model", "gru4rec", "--fgsm", "--adv_epoch", "1",
+                        "--eps", "0.1", "--opath", str(tmp_path) + "/"])
+    assert np.isfinite(best["ndcg"])
+
+
+def test_cli_fgsm_rejects_adversarial_models(tmp_path):
+    import pytest
+    with pytest.raises(SystemExit, match="fgsm"):
+        main(ARGS + ["--model", "pop", "--fgsm",
+                     "--opath", str(tmp_path) + "/"])
