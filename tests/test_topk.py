@@ -42,3 +42,23 @@ def test_recommend_excludes_train_items():
             for item in it[row]:
                 assert item not in train
                 assert item != 0
+
+
+def test_recommend_factored_matches_score_all_path():
+    """The factored (tiled top-K) and score_all branches of recommend() must
+    return identical items for a dot-factored model."""
+    data = make_data(seed=10)
+    model = MFBPR(data.num_users, data.num_items, 8)
+    params = model.init_params(jax.random.PRNGKey(2))
+    users = data.eval_users()[:8]
+    s1, i1 = recommend(model, params, data, users, k=5)
+
+    class NoFactored:
+        num_items = model.num_items
+        score_all = staticmethod(model.score_all)
+        def factored_scorer(self):
+            return None
+
+    s2, i2 = recommend(NoFactored(), params, data, users, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
