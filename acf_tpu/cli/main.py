@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 from datetime import datetime
 
+import jax
 import optax
 
 from acf_tpu.data import load_dataset
@@ -110,6 +111,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=2019)
     p.add_argument("--nrows", type=int, default=0,
                    help="truncate the dataset (smoke runs)")
+    p.add_argument("--profile", type=str, default="",
+                   help="directory for a JAX profiler trace of the run "
+                        "(open with tensorboard/xprof or Perfetto; the "
+                        "reference has no profiler — SURVEY.md §5)")
     return p
 
 
@@ -271,6 +276,11 @@ def main(argv=None):
                       seed=args.seed)
 
     restore = (args.restore, args.restore_epoch) if args.restore else None
+    profiler = None
+    if args.profile:
+        import contextlib
+        profiler = contextlib.ExitStack()
+        profiler.enter_context(jax.profiler.trace(args.profile))
     if clean is not None:
         # asasrec carries Adam slots into phase 2 (full-variable Saver,
         # utils.py:306-315); apr resets them (embeddings-only Saver,
@@ -290,6 +300,9 @@ def main(argv=None):
             best = trainer.fit(epoch_start=restore[1])
         else:
             best = trainer.fit()
+    if profiler is not None:
+        profiler.close()
+        writer.line(f"Profiler trace written to {args.profile}")
     writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
                 % (best.get("epoch", -1), best.get("hr", 0.0),
                    best.get("ndcg", 0.0)))

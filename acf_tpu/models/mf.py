@@ -136,6 +136,95 @@ class MFBPR(PairwiseModel):
                 jax.lax.stop_gradient(g["Q"])))
         return dP, dQ
 
+    # -- handwritten fused step gradients ------------------------------------
+    @property
+    def manual_grads(self):
+        """Closed-form gradient function for the APR step, or None.
+
+        The autodiff APR step pays ~6 row scatter-adds per step: the inner
+        ``jax.grad(clean)`` materializes two dense delta-source tables
+        (evaluation_adv.py:195-199 semantics) and the outer backward scatters
+        clean- and adversarial-loss row grads separately. For MF-BPR every
+        gradient row has a closed form, and duplicate-row aggregation (what
+        the dense scatter provides for the FGSM normalize) is an exact
+        equality-matrix matmul on the MXU. This path emits exactly ONE
+        scatter-add per table and no dense intermediates.
+
+        Only defined for the reference configuration (grad-mode single-step
+        FGSM); other modes fall back to autodiff.
+        """
+        if (self.adversarial and self.adv_mode == "grad"
+                and self.adv_steps == 1):
+            return self._apr_manual_grads
+        return None
+
+    def _apr_manual_grads(self, params, batch, key):
+        users, pos, neg = batch
+        B = users.shape[0]
+        d = self.dim
+        hp = jax.lax.Precision.HIGHEST
+
+        p = params["P"][users]
+        qp = params["Q"][pos]
+        qn = params["Q"][neg]
+
+        # clean BPR: L = sum softplus(-(clip(s+ - s-))); dL/ddiff = -sigmoid(-diff)
+        diff = jnp.sum(p * (qp - qn), -1)
+        diff_c = jnp.clip(diff, -80.0, 1e8)
+        in_range = ((diff >= -80.0) & (diff <= 1e8)).astype(jnp.float32)
+        c = -jax.nn.sigmoid(-diff_c) * in_range  # [B]
+        loss = jnp.sum(jnp.logaddexp(0.0, -diff_c))
+        acc = jnp.mean((diff > 0))
+
+        # per-occurrence clean grad rows of L wrt P/Q
+        gp_rows = c[:, None] * (qp - qn)                     # dL/dP[u_b]
+        gq_rows = jnp.concatenate([c[:, None] * p,
+                                   -c[:, None] * p], axis=0)  # pos then neg
+
+        # FGSM deltas need the *row-aggregated* clean grad (duplicate batch
+        # slots of one table row share a single summed gradient,
+        # evaluation_adv.py:192-203). Aggregate with exact 0/1 equality
+        # matrices on the MXU instead of a dense scatter+gather.
+        eq_u = (users[:, None] == users[None, :]).astype(jnp.float32)
+        agg_p = jnp.matmul(eq_u, gp_rows, precision=hp)
+        items2 = jnp.concatenate([pos, neg], axis=0)
+        eq_i = (items2[:, None] == items2[None, :]).astype(jnp.float32)
+        agg_q = jnp.matmul(eq_i, gq_rows, precision=hp)
+
+        dP = self.eps * row_normalize(agg_p)        # [B, d] rows for u
+        dQp = self.eps * row_normalize(agg_q[:B])   # rows for pos
+        dQn = self.eps * row_normalize(agg_q[B:])   # rows for neg
+
+        # adversarial pair loss at the perturbed point
+        ph = p + dP
+        qph = qp + dQp
+        qnh = qn + dQn
+        diff_a = jnp.sum(ph * (qph - qnh), -1)
+        diff_ac = jnp.clip(diff_a, -80.0, 1e8)
+        in_range_a = ((diff_a >= -80.0) & (diff_a <= 1e8)).astype(jnp.float32)
+        ca = -jax.nn.sigmoid(-diff_ac) * in_range_a
+        loss_adv = jnp.sum(jnp.logaddexp(0.0, -diff_ac))
+        acc_adv = jnp.mean((diff_a > 0))
+
+        # total row grads: clean + reg_adv * adversarial (+ the doubled reg
+        # term, evaluation_adv.py:175-177 — R = mean(p^2+qp^2+qn^2) twice)
+        rcoef = 4.0 * self.reg / (B * d)
+        rowsP = gp_rows + (self.reg_adv * ca)[:, None] * (qph - qnh)
+        rowsQ = gq_rows + jnp.concatenate(
+            [(self.reg_adv * ca)[:, None] * ph,
+             -(self.reg_adv * ca)[:, None] * ph], axis=0)
+        if self.reg != 0.0:
+            rowsP = rowsP + rcoef * p
+            rowsQ = rowsQ + rcoef * jnp.concatenate([qp, qn], axis=0)
+
+        grads = {
+            "P": jnp.zeros_like(params["P"]).at[users].add(rowsP),
+            "Q": jnp.zeros_like(params["Q"]).at[items2].add(rowsQ),
+        }
+        aux = {"loss": loss, "acc": acc,
+               "loss_adv": loss_adv, "acc_adv": acc_adv}
+        return grads, aux
+
     def adv_encoders(self):
         """Embedding towers for the popularity-discriminator machinery
         (AdversarialBPR discriminates on the user and pos-item embeddings,

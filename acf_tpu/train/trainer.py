@@ -67,6 +67,16 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
     scores highest (reference evaluation_adv.py:349-367).
     """
     dns = getattr(model, "dns", 1)
+    # closed-form fused-step gradients when the model provides them (MFBPR
+    # APR path — one scatter-add per table instead of nested-autodiff's ~6)
+    manual_grads = getattr(model, "manual_grads", None)
+
+    def _grads(prm, batch, kl):
+        if manual_grads is not None:
+            return manual_grads(prm, batch, kl)
+        (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+            prm, batch, kl)
+        return grads, aux
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(carry, data, key):
@@ -92,8 +102,7 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
                 scores = model.score_some(prm, u, hist_rows, cands)
                 neg = jnp.take_along_axis(
                     cands, jnp.argmax(scores, axis=1)[:, None], axis=1)[:, 0]
-            (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                prm, (u, pos, neg), kl)
+            grads, aux = _grads(prm, (u, pos, neg), kl)
             updates, opt = optimizer.update(grads, opt, prm)
             prm = optax.apply_updates(prm, updates)
             return (prm, opt), aux

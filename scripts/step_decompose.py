@@ -34,7 +34,10 @@ from acf_tpu.sampling.negatives import (  # noqa: E402
     sample_pair_epoch, uniform_negatives,
 )
 
-U, I, D, BS, STEPS = 6_041, 3_707, 64, 512, 200
+U, I, D, BS = 6_041, 3_707, 64, 512
+# 1941 = ml-1m's real batches/epoch; short grids inflate every variant by the
+# fixed per-dispatch cost of the axon tunnel (~10-20 ms/call / STEPS)
+STEPS = int(os.environ.get("DECOMPOSE_STEPS", "1941"))
 
 
 def build_data(rng):
@@ -46,7 +49,7 @@ def build_data(rng):
     }
 
 
-def make_epoch(model, optimizer, sampler: str):
+def make_epoch(model, optimizer, sampler: str, manual: bool = False):
     def step_neg(kn, hist_rows):
         if sampler == "fixed":
             return jax.random.randint(kn, (BS,), 1, I, dtype=jnp.int32)
@@ -67,8 +70,11 @@ def make_epoch(model, optimizer, sampler: str):
             u = data["pairs_u"][idx]
             pos = data["pairs_i"][idx]
             neg = step_neg(kn, data["hist"][u])
-            (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                prm, (u, pos, neg), kl)
+            if manual:
+                grads, aux = model.manual_grads(prm, (u, pos, neg), kl)
+            else:
+                (_, aux), grads = jax.value_and_grad(
+                    model.loss, has_aux=True)(prm, (u, pos, neg), kl)
             updates, opt = optimizer.update(grads, opt, prm)
             prm = optax.apply_updates(prm, updates)
             return (prm, opt), aux
@@ -127,6 +133,8 @@ def main():
 
     variants = [
         ("full", make_epoch(apr, adagrad, "reject"), apr, adagrad),
+        ("full-manual", make_epoch(apr, adagrad, "reject", manual=True),
+         apr, adagrad),
         ("clean", make_epoch(bpr, adagrad, "reject"), bpr, adagrad),
         ("fixed-neg", make_epoch(apr, adagrad, "fixed"), apr, adagrad),
         ("sgd", make_epoch(apr, optax.sgd(0.05), "reject"), apr,

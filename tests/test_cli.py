@@ -144,3 +144,14 @@ def test_cli_fgsm_rejects_adversarial_models(tmp_path):
     with pytest.raises(SystemExit, match="fgsm"):
         main(ARGS + ["--model", "pop", "--fgsm",
                      "--opath", str(tmp_path) + "/"])
+
+
+def test_cli_profile_trace(tmp_path):
+    trace_dir = str(tmp_path / "trace")
+    best = main(ARGS + ["--model", "bpr", "--opath", str(tmp_path) + "/",
+                        "--profile", trace_dir])
+    assert np.isfinite(best["ndcg"])
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found

@@ -146,3 +146,40 @@ def test_multi_step_adv_deltas():
 
     loss, aux = model3.loss(params, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)) and np.isfinite(float(aux["loss_adv"]))
+
+
+def test_manual_apr_grads_match_autodiff():
+    """The closed-form fused-step gradients (MFBPR.manual_grads) must equal
+    jax.grad of the autodiff APR loss — including duplicate-row aggregation
+    in the FGSM normalize, the doubled reg term, and the aux stats."""
+    for reg in (0.0, 0.3):
+        model, params, u, i, j = setup(adversarial=True, reg=reg)
+        # force duplicate users and items (incl. a pos/neg collision) so the
+        # equality-matrix aggregation is actually exercised
+        u[3] = u[0]
+        u[7] = u[0]
+        i[5] = i[1]
+        j[2] = i[4]
+        j[6] = j[1]
+        batch = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(j))
+        key = jax.random.PRNGKey(1)
+
+        (_, aux_ad), g_ad = jax.value_and_grad(model.loss, has_aux=True)(
+            params, batch, key)
+        assert model.manual_grads is not None
+        g_m, aux_m = model.manual_grads(params, batch, key)
+
+        for k in ("P", "Q"):
+            np.testing.assert_allclose(g_m[k], g_ad[k], rtol=1e-5, atol=1e-7)
+        for k in ("loss", "acc", "loss_adv", "acc_adv"):
+            np.testing.assert_allclose(aux_m[k], aux_ad[k], rtol=1e-5,
+                                       err_msg=k)
+
+
+def test_manual_grads_gated_to_reference_config():
+    """manual_grads only exists for grad-mode single-step adversarial MFBPR;
+    every other configuration falls back to autodiff."""
+    assert MFBPR(5, 5, 4, adversarial=True).manual_grads is not None
+    assert MFBPR(5, 5, 4).manual_grads is None
+    assert MFBPR(5, 5, 4, adversarial=True, adv_mode="random").manual_grads is None
+    assert MFBPR(5, 5, 4, adversarial=True, adv_steps=3).manual_grads is None
