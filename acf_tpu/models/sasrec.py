@@ -43,6 +43,14 @@ from acf_tpu.nn.layers import (
 _NEG_INF = -(2.0 ** 32) + 1  # the reference's mask value (SASRecLayers.py:208)
 
 
+def _apply_mask(x, mask, keep: float):
+    """Inverted dropout with a precomputed 0/1 mask — bit-identical to the
+    previous inline ``dropout`` (same ``x / keep`` division)."""
+    if mask is None:
+        return x
+    return jnp.where(mask > 0, x / keep, 0.0)
+
+
 def _tf_l2_normalize(x, eps: float = 1e-12):
     """tf.nn.l2_normalize semantics: axis=1 for matrices (rows), all axes for
     vectors (reference SASRec.py:371, 382-386)."""
@@ -76,6 +84,8 @@ class SASRec(SequenceModel):
     eps_conv: float = 0.0   # run_adv_ori.py --eps_conv
     adv_steps: int = 1      # >1 = PGD-style multi-step perturbation
                             # (MSAP, arXiv:2010.01329); 1 = reference FGSM
+    fused: str = "auto"     # fused Pallas encoder kernel: "auto" (on TPU),
+                            # "always" (interpret mode off-TPU), "never"
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -107,7 +117,29 @@ class SASRec(SequenceModel):
         return params
 
     # ------------------------------------------------------------------
-    def _attention(self, blk, q_in, ids_mask, key, train):
+    def _dropout_masks(self, key, b, t):
+        """Precomputed 0/1 f32 dropout masks — exactly the bernoulli draws
+        ``encode_core`` used to make inline (same key split, same call order,
+        same shapes), hoisted so the fused-kernel path can consume them."""
+        h = self.num_heads
+        d = self.dim
+        keep = 1.0 - self.dropout_rate
+        keys = jax.random.split(key, 1 + 3 * self.num_blocks)
+
+        def m(kk, shape):
+            return jax.random.bernoulli(kk, keep, shape).astype(jnp.float32)
+
+        return {
+            "emb": m(keys[0], (b, t, d)),
+            "blocks": [
+                {"p": m(keys[1 + 3 * i], (b, h, t, t)),
+                 "f1": m(keys[2 + 3 * i], (b, t, d)),
+                 "f2": m(keys[3 + 3 * i], (b, t, d))}
+                for i in range(self.num_blocks)
+            ],
+        }
+
+    def _attention(self, blk, q_in, ids_mask, p_mask, keep):
         """One causal MHA with key/query masking
         (SASRecLayers.py:171-248)."""
         b, t, d = q_in.shape
@@ -122,7 +154,7 @@ class SASRec(SequenceModel):
         scores = jnp.where(causal[None, None] & key_mask, scores, _NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = probs * ids_mask[:, None, :, None]  # query masking
-        probs = dropout(key, probs, self.dropout_rate, train)
+        probs = _apply_mask(probs, p_mask, keep)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return out + q_in  # residual onto the normalized input
@@ -139,25 +171,50 @@ class SASRec(SequenceModel):
         Only touches ``pos_emb``/``blocks``/``ln_f`` in ``params``."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        b, t = x.shape[0], x.shape[1]
+        use_dropout = train and self.dropout_rate > 0.0
+        masks = self._dropout_masks(key, b, t) if use_dropout else None
+        if self._use_fused(t):
+            from acf_tpu.ops.sasrec_fused import fused_encoder
+            return fused_encoder(self, params, x, ids_mask, masks)
+        return self.encode_math(params, x, ids_mask, masks)
+
+    def encode_math(self, params, x, ids_mask, masks):
+        """Pure-jnp encoder math given precomputed dropout masks (None =
+        inference). The fused Pallas kernel (ops/sasrec_fused.py) computes
+        exactly this function."""
         t = x.shape[1]
+        keep = 1.0 - self.dropout_rate
         maskf = ids_mask[:, :, None].astype(jnp.float32)
         x = x + params["pos_emb"][None, -t:, :]
-        keys = jax.random.split(key, 1 + 3 * self.num_blocks)
-        x = dropout(keys[0], x, self.dropout_rate, train)
+        x = _apply_mask(x, None if masks is None else masks["emb"], keep)
         x = x * maskf
         for i, blk in enumerate(params["blocks"]):
+            bm = None if masks is None else masks["blocks"][i]
             q_in = layer_norm(blk["ln1"], x)
-            x = self._attention(blk, q_in, ids_mask, keys[1 + 3 * i], train)
+            x = self._attention(blk, q_in, ids_mask,
+                                None if bm is None else bm["p"], keep)
             x2 = layer_norm(blk["ln2"], x)
             f = jax.nn.relu(dense(blk["conv1"], x2))
-            f = dropout(keys[2 + 3 * i], f, self.dropout_rate, train)
+            f = _apply_mask(f, None if bm is None else bm["f1"], keep)
             f = dense(blk["conv2"], f)
-            f = dropout(keys[3 + 3 * i], f, self.dropout_rate, train)
+            f = _apply_mask(f, None if bm is None else bm["f2"], keep)
             f = f + x2  # residual (SASRecLayers.py:314)
             x = layer_norm(blk["ln3"], f)
             x = x * maskf
         x = layer_norm(params["ln_f"], x)
         return x
+
+    def _use_fused(self, t: int) -> bool:
+        """Route through the fused Pallas encoder kernel: single-head
+        (reference default), windows at full maxlen, on a real TPU backend
+        (the jnp path stays the CPU/test reference; ``fused`` forces it
+        either way)."""
+        if self.fused == "never" or self.num_heads != 1 or t != self.maxlen:
+            return False
+        if self.fused == "always":
+            return True
+        return jax.default_backend() not in ("cpu",)
 
     # ------------------------------------------------------------------
     def _pointwise_loss(self, reprs, item_emb, pos, neg):
@@ -165,6 +222,19 @@ class SASRec(SequenceModel):
         (SASRec.py:183-191), in stable softplus form."""
         pos_e = item_emb[pos]  # [B, T, d] (unscaled, as in SASRec.py:172)
         neg_e = item_emb[neg]
+        pos_logit = jnp.sum(pos_e * reprs, -1)
+        neg_logit = jnp.sum(neg_e * reprs, -1)
+        ist = (pos != 0).astype(jnp.float32)
+        n = jnp.maximum(ist.sum(), 1.0)
+        loss = (jnp.sum(jnp.logaddexp(0.0, -pos_logit) * ist)
+                + jnp.sum(jnp.logaddexp(0.0, neg_logit) * ist)) / n
+        auc = jnp.sum(((jnp.sign(pos_logit - neg_logit) + 1) / 2) * ist) / n
+        return loss, auc
+
+    def _pointwise_loss_rows(self, reprs, pos_e, neg_e, pos):
+        """`_pointwise_loss` with the target embedding rows given explicitly
+        (the row-space adversarial hot path gathers + perturbs them without
+        materializing a full perturbed table)."""
         pos_logit = jnp.sum(pos_e * reprs, -1)
         neg_logit = jnp.sum(neg_e * reprs, -1)
         ist = (pos != 0).astype(jnp.float32)
@@ -208,6 +278,8 @@ class SASRec(SequenceModel):
         step size ε/adv_steps per leaf, gradient re-taken at the perturbed
         point, per-leaf projection back into its ε-ball; reduces exactly to
         the reference's single FGSM step at adv_steps=1."""
+        # constant under outer autodiff (see the loss() hot-path note)
+        params = jax.lax.stop_gradient(params)
         eps = self._eps_tree(params)
 
         def project(d, e):
@@ -237,15 +309,45 @@ class SASRec(SequenceModel):
             loss = loss + self.l2_emb * jnp.sum(jnp.square(params["item_emb"]))
         aux = {"loss": loss, "acc": auc}
         if self.adversarial:
-            delta = self._delta_tree(params, seq, pos, neg)
-            emb_plus = params["item_emb"] + delta["item_emb"]
-            if self.adv_mode == "asasrec2":
-                adv_params = jax.tree.map(jnp.add, params, delta)
-                adv_reprs = self.encode(adv_params, seq, train=True, key=k_adv)
+            if self.adv_mode != "asasrec2" and self.adv_steps == 1:
+                # hot path (reference asasrec config, SASRec.py:356-363):
+                # the perturbed table is only ever read at the pos/neg rows
+                # of the logit layer (the encoder stays clean), and row-wise
+                # l2-normalize commutes with the row gather — so gather the
+                # dense clean grad once and never materialize the delta
+                # table, the full-table normalize, or the full-table
+                # `emb + delta` add (~15 table-sized ops/step at Video scale)
+                # stop_gradient the INPUTS (not just the result): the inner
+                # grad graph must be constant under the outer autodiff trace,
+                # both for semantics (reference FGSM linearizes at the clean
+                # point) and because a second JVP level around the fused
+                # encoder's custom-VJP pallas call trips pallas tracing
+                prm_c = jax.lax.stop_gradient(params)
+                g_emb = jax.grad(
+                    lambda emb: self._clean_loss_fn(
+                        {**prm_c, "item_emb": emb}, seq, pos, neg)
+                )(prm_c["item_emb"])
+                def _norm_rows(x):  # table rows normalize on axis=1 == last
+                    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+                    return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+
+                pos_adv = (params["item_emb"][pos]
+                           + self.eps * _norm_rows(g_emb[pos]))
+                neg_adv = (params["item_emb"][neg]
+                           + self.eps * _norm_rows(g_emb[neg]))
+                adv_loss, adv_auc = self._pointwise_loss_rows(
+                    reprs, pos_adv, neg_adv, pos)
             else:
-                adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
-            adv_loss, adv_auc = self._pointwise_loss(adv_reprs, emb_plus,
-                                                     pos, neg)
+                delta = self._delta_tree(params, seq, pos, neg)
+                emb_plus = params["item_emb"] + delta["item_emb"]
+                if self.adv_mode == "asasrec2":
+                    adv_params = jax.tree.map(jnp.add, params, delta)
+                    adv_reprs = self.encode(adv_params, seq, train=True,
+                                            key=k_adv)
+                else:
+                    adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
+                adv_loss, adv_auc = self._pointwise_loss(adv_reprs, emb_plus,
+                                                         pos, neg)
             loss = loss + self.reg_adv * adv_loss
             aux["loss_adv"] = adv_loss
             aux["acc_adv"] = adv_auc

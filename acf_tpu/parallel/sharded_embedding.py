@@ -174,10 +174,16 @@ def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
         def lookup(tbl, ids):
             return sharded_lookup(tbl, ids.reshape(-1)).reshape(b, t, d)
 
+        def encode(rp, x):
+            # plain-jnp encoder math, NOT encode_core: the fused Pallas
+            # kernel can't trace under shard_map's vma tracking (and this
+            # path is the explicit-collectives reference, kept simple)
+            return model.encode_math(rp, x, seq != 0, None)
+
         def clean_loss(tables):
             item_local, rp = tables
             x = lookup(item_local, seq) * math.sqrt(d)
-            reprs = model.encode_core(rp, x, seq != 0, train=False)
+            reprs = encode(rp, x)
             return pointwise_sum_loss(reprs, lookup(item_local, pos),
                                       lookup(item_local, neg), ist)
 
@@ -197,7 +203,7 @@ def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
             def adv_loss(tables):
                 item_local, rp = tables
                 x = lookup(item_local, seq) * math.sqrt(d)
-                reprs = model.encode_core(rp, x, seq != 0, train=False)
+                reprs = encode(rp, x)
                 tgt = item_local + delta_local
                 return pointwise_sum_loss(reprs, lookup(tgt, pos),
                                           lookup(tgt, neg), ist)

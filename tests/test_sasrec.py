@@ -132,3 +132,39 @@ def test_multi_step_deltas_sasrec():
     loss, aux = m3.loss(params, (jnp.asarray([1]), seq, pos, neg),
                         jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)) and np.isfinite(float(aux["loss_adv"]))
+
+
+def test_row_space_adv_path_matches_table_path():
+    """The asasrec hot path (gather + last-axis normalize, no dense delta
+    table / full-table add) must equal the table-space formulation exactly —
+    loss AND parameter gradients — including items that appear in both the
+    encoder window and the pos/neg targets."""
+    data = seq_data()
+    m = make_model(data, adversarial=True, eps=0.5)
+    params = m.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4], [0, 0, 0, 0, 2, 2, 5, 4]])
+    pos = jnp.asarray([[0, 0, 0, 1, 2, 3, 4, 5], [0, 0, 0, 2, 2, 5, 4, 1]])
+    neg = jnp.asarray([[0, 0, 0, 9, 9, 9, 9, 2], [0, 0, 0, 7, 9, 2, 8, 9]])
+    users = jnp.asarray([1, 2])
+    batch = (users, seq, pos, neg)
+    key = jax.random.PRNGKey(1)
+
+    def table_path(prm, batch, key):
+        users, sq, ps, ng = batch
+        k_enc, _ = jax.random.split(key)
+        reprs = m.encode(prm, sq, train=True, key=k_enc)
+        loss, _ = m._pointwise_loss(reprs, prm["item_emb"], ps, ng)
+        delta = m._delta_tree(prm, sq, ps, ng)
+        emb_plus = prm["item_emb"] + delta["item_emb"]
+        adv_loss, _ = m._pointwise_loss(reprs, emb_plus, ps, ng)
+        return loss + m.reg_adv * adv_loss
+
+    (l_hot, aux), g_hot = jax.value_and_grad(m.loss, has_aux=True)(
+        params, batch, key)
+    l_tab, g_tab = jax.value_and_grad(table_path)(params, batch, key)
+
+    np.testing.assert_allclose(l_hot, l_tab, rtol=1e-6)
+    flat_h, _ = jax.tree.flatten(g_hot)
+    flat_t, _ = jax.tree.flatten(g_tab)
+    for a, b in zip(flat_h, flat_t):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
