@@ -84,8 +84,10 @@ class SASRec(SequenceModel):
     eps_conv: float = 0.0   # run_adv_ori.py --eps_conv
     adv_steps: int = 1      # >1 = PGD-style multi-step perturbation
                             # (MSAP, arXiv:2010.01329); 1 = reference FGSM
-    fused: str = "auto"     # fused Pallas encoder kernel: "auto" (on TPU),
-                            # "always" (interpret mode off-TPU), "never"
+    fused: str = "auto"     # fused Pallas encoder kernel (ops/sasrec_fused):
+                            # "auto" == "never" — measured SLOWER than XLA at
+                            # reference scale (docs/ROADMAP.md); "always" =
+                            # opt-in (interpret mode off-TPU)
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -206,15 +208,14 @@ class SASRec(SequenceModel):
         return x
 
     def _use_fused(self, t: int) -> bool:
-        """Route through the fused Pallas encoder kernel: single-head
-        (reference default), windows at full maxlen, on a real TPU backend
-        (the jnp path stays the CPU/test reference; ``fused`` forces it
-        either way)."""
-        if self.fused == "never" or self.num_heads != 1 or t != self.maxlen:
+        """Route through the fused Pallas encoder kernel (opt-in only:
+        single-head, windows at full maxlen). Measured on v5e at Video scale
+        the kernel LOSES to XLA's own fusion (fwd 221 vs 162 µs/step, full
+        step 579 vs 491 µs — docs/ROADMAP.md), so "auto" resolves to the
+        XLA path; ``fused="always"`` keeps the kernel testable."""
+        if self.num_heads != 1 or t != self.maxlen:
             return False
-        if self.fused == "always":
-            return True
-        return jax.default_backend() not in ("cpu",)
+        return self.fused == "always"
 
     # ------------------------------------------------------------------
     def _pointwise_loss(self, reprs, item_emb, pos, neg):

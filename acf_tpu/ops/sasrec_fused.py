@@ -1,13 +1,17 @@
 """Fused Pallas TPU kernel for the SASRec encoder (forward + backward).
 
-Why: the SASRec train step is overhead-bound, not FLOP-bound — at Video
-scale (B=512, T=8, d=64, 2 blocks) the XLA step spends ~490 µs on ~30 µs of
-arithmetic because the encoder lowers to hundreds of tiny kernels
-(scripts/seq_step_decompose.py). This module collapses the whole encoder
-into ONE Pallas kernel per pass: forward, and a custom-VJP backward that
-rematerializes the forward inside the kernel and differentiates it at trace
-time (``jax.vjp`` over the in-kernel math — no hand-derived gradients to
-get wrong).
+STATUS: opt-in experiment (``SASRec(fused="always")``), NOT the production
+path. Measured on 1x v5e at Video scale (B=512, T=8, d=64, 2 blocks,
+scripts/seq_step_decompose.py) the kernel LOSES to XLA's own fusion:
+forward 221 vs 162 µs/step, full clean step 579 vs 491 µs, adversarial
+1041 vs 738 µs. At these tiny shapes XLA already fuses well, while the
+kernel pays for f32 (vs bf16-MXU) matmuls, the unrolled VPU attention,
+and materialized dropout masks; larger backward chunks than _ROWS_BWD=256
+OOM the 16 MB scoped VMEM. Kept because it is a correct, fully-tested
+whole-encoder custom-VJP kernel (forward + backward that rematerializes
+the forward in-kernel and differentiates it at trace time via ``jax.vjp``
+— no hand-derived gradients to get wrong) and the economics flip if d or
+num_blocks grow. See docs/ROADMAP.md for the full investigation note.
 
 Semantics: exactly ``SASRec.encode_math`` (models/sasrec.py) — the
 reference encoder (SASRecLayers.py:15-319) with precomputed dropout masks.
@@ -39,8 +43,11 @@ _NEG_INF = -(2.0 ** 32) + 1  # reference mask value (SASRecLayers.py:208)
 # VMEM scales with rows-per-chunk (C*T), so the user-chunk shrinks as T
 # grows; 1024/256 rows are the largest footprints that fit the 16 MB scoped
 # limit at d=64 (measured: C=128/T=16 fwd needs 18 MB and OOMs).
-_ROWS_FWD = 1024    # forward chunk rows (C*T)
-_ROWS_BWD = 256     # backward chunk rows (vjp remat holds ~3x the fwd state)
+# Env overrides exist for on-TPU tuning sweeps (scripts/seq_step_decompose).
+import os as _os
+
+_ROWS_FWD = int(_os.environ.get("SASREC_FUSED_ROWS_FWD", "1024"))
+_ROWS_BWD = int(_os.environ.get("SASREC_FUSED_ROWS_BWD", "256"))
 
 
 def _chunks(t: int):

@@ -4,10 +4,16 @@ parity-run workload: U=31013, I=23745, d=64, maxlen=8, 2 blocks, bs 512).
 Variants (1000-step scan per call so the axon fixed dispatch cost
 (~15-20 ms/call) amortizes below 20 ns/step; donated carry; fresh-output
 sync per the timing gotcha in CLAUDE.md):
-  asasrec   — adversarial step (FGSM on item_emb, clean encoder reused)
-  sasrec    — clean step
-  sample    — sample_seq_batch + embedding-sum only (sampling floor)
-  noop      — scan floor
+  asasrec     — adversarial step, fused="always" Pallas encoder
+  asasrec-xla — adversarial step, XLA encoder (the production default)
+  sasrec      — clean step, fused encoder; sasrec-xla — XLA
+  sasrec-fwd(-xla) — loss only, no grad/optimizer
+  sample      — sample_seq_batch + embedding-sum only (sampling floor)
+  noop        — scan floor
+
+Filter with DECOMPOSE_ONLY=name,name; tune the fused kernel's chunks with
+SASREC_FUSED_ROWS_{FWD,BWD}. Measured 2026-08-18 (1x v5e): XLA wins —
+see docs/ROADMAP.md; the fused kernel is opt-in.
 
 Prints one JSON line per variant.
 """
@@ -114,12 +120,12 @@ def main():
     rng = np.random.default_rng(0)
     data = build_data(rng)
     adam = optax.adam(0.001, b2=0.98)
-    clean = SASRec(U, I, D, maxlen=MAXLEN)
+    clean = SASRec(U, I, D, maxlen=MAXLEN, fused="always")
     adv = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
-                 reg_adv=1.0)
-    clean_xla = SASRec(U, I, D, maxlen=MAXLEN, fused="never")
+                 reg_adv=1.0, fused="always")
+    clean_xla = SASRec(U, I, D, maxlen=MAXLEN)
     adv_xla = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
-                     reg_adv=1.0, fused="never")
+                     reg_adv=1.0)
 
     adv_table = TableASASRec(U, I, D, maxlen=MAXLEN, adversarial=True,
                              eps=0.5, reg_adv=1.0)
@@ -130,9 +136,15 @@ def main():
         ("sasrec-xla", make_epoch(clean_xla, adam, "train"), clean_xla,
          adam),
         ("sasrec-fwd", make_epoch(clean, adam, "fwd"), clean, adam),
+        ("sasrec-fwd-xla", make_epoch(clean_xla, adam, "fwd"), clean_xla,
+         adam),
         ("sample", make_epoch(clean, adam, "sample"), clean, adam),
         ("noop", make_epoch(clean, adam, "noop"), clean, adam),
     ]
+    only = os.environ.get("DECOMPOSE_ONLY")
+    if only:
+        names = set(only.split(","))
+        variants = [v for v in variants if v[0] in names]
     for entry_ in variants:
         name, fn, model = entry_[0], entry_[1], entry_[2]
         opt = entry_[3] if len(entry_) > 3 else adam

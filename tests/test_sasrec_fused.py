@@ -74,6 +74,29 @@ def test_fused_adversarial_loss_matches_jnp():
                                    err_msg=jax.tree_util.keystr(p1))
 
 
+def test_fused_chunk_scaling_longer_windows():
+    """Chunk sizes shrink as T grows (VMEM budget); T=16 is the config that
+    OOMed at the fixed 128-user chunk, T=50 is the reference maxlen where
+    fwd/bwd chunks stop being the 4:1 power-of-two pair."""
+    from acf_tpu.ops.sasrec_fused import _chunks
+
+    for t, (c, cb) in [(8, (128, 32)), (16, (64, 16)), (50, (16, 8))]:
+        assert _chunks(t) == (c, cb) and c % cb == 0
+
+    for t in (16, 50):
+        m_ref = SASRec(20, I, D, maxlen=t, fused="never")
+        m_fus = SASRec(20, I, D, maxlen=t, fused="always")
+        params = m_ref.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(t)
+        seq = jnp.asarray(rng.integers(0, I, (5, t)), jnp.int32)
+        key = jax.random.PRNGKey(1)
+        r_ref = m_ref.encode(params, seq, train=True, key=key)
+        r_fus = m_fus.encode(params, seq, train=True, key=key)
+        # longer T accumulates attention sums in a different order than the
+        # einsum path — pure f32 rounding, measured <= 2e-6 abs
+        np.testing.assert_allclose(r_fus, r_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_gate_falls_back():
     """Fused path only engages for single-head full-maxlen windows."""
     m = SASRec(20, I, D, maxlen=T, num_heads=2, fused="always")
