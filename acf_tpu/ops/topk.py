@@ -67,35 +67,96 @@ def topk_factored(u_repr, item_emb, hists, bias=None, k: int = 10,
     return s, jnp.take_along_axis(all_i, idx, axis=1)
 
 
-def recommend(model, params, data, users, k: int = 10, batch_users: int = 512):
-    """Serving entry point: top-K unseen items per user.
-
-    Works for any model: uses the factored scorer when available, falls back
-    to ``score_all`` + masked ``top_k``.
-    """
-    import numpy as np
-
-    users = np.asarray(users, dtype=np.int32)
-    out_s, out_i = [], []
+def _topk_core(model, k: int):
+    """(params, ub, hb) -> (scores, items) for one user batch — the shared
+    body of the single-batch and bulk serving programs."""
     fs = getattr(model, "factored_scorer", lambda: None)()
-    for s in range(0, len(users), batch_users):
-        ub = jnp.asarray(users[s:s + batch_users])
-        hb = jnp.asarray(data.hist[users[s:s + batch_users]])
-        if fs is not None:
-            # HIGHEST like the evaluator (eval/full_rank.py): encoder matmuls
-            # otherwise truncate f32→bf16 on TPU and reorder near-tie items
-            # vs the evaluator's rankings
+    if fs is not None:
+        def core(params, ub, hb):
+            # HIGHEST like the evaluator (eval/full_rank.py): encoder
+            # matmuls otherwise truncate f32→bf16 on TPU and reorder
+            # near-tie items vs the evaluator's rankings
             with jax.default_matmul_precision("highest"):
                 reprs = fs[0](params, ub, hb)
             table, bias = fs[1](params)
-            sc, it = topk_factored(reprs, table, hb, bias=bias, k=k)
-        else:
+            return topk_factored(reprs, table, hb, bias=bias, k=k)
+    else:
+        def core(params, ub, hb):
             with jax.default_matmul_precision("highest"):
                 scores = model.score_all(params, ub, hb)
             rows = jnp.arange(ub.shape[0])
             scores = scores.at[:, 0].set(NEG)
             scores = scores.at[rows[:, None], hb].set(NEG)
-            sc, it = jax.lax.top_k(scores, k)
-        out_s.append(np.asarray(sc))
-        out_i.append(np.asarray(it))
-    return np.concatenate(out_s), np.concatenate(out_i)
+            return jax.lax.top_k(scores, k)
+    return core
+
+
+def _rec_fn(model, key, build):
+    """Per-model jit cache (instances hash by identity, same pattern as
+    ``factored_scorer``). Folding scorer + table + top-K into as few
+    dispatches as possible matters on remote-attached TPUs where each call
+    carries ~15-20 ms fixed cost (see CLAUDE.md)."""
+    cache = getattr(model, "_rec_fns", None)
+    if cache is None:
+        cache = model._rec_fns = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = build()
+    return fn
+
+
+def _hist_dev(data):
+    h = getattr(data, "_hist_dev", None)
+    if h is None:
+        h = jax.device_put(jnp.asarray(data.hist))
+        try:
+            data._hist_dev = h
+        except AttributeError:  # frozen dataclass — just don't cache
+            pass
+    return h
+
+
+def recommend(model, params, data, users, k: int = 10, batch_users: int = 512):
+    """Serving entry point: top-K unseen items per user.
+
+    Works for any model: uses the factored scorer when available, falls back
+    to ``score_all`` + masked ``top_k``. Large requests (>= 4 batches) run
+    as ONE device program (``lax.map`` over user batches, history table
+    device-resident) — a single dispatch for the whole user base; smaller
+    requests dispatch one jitted call per batch, converted to numpy once at
+    the end so device work pipelines across batches.
+    """
+    import numpy as np
+
+    users = np.asarray(users, dtype=np.int32)
+    n = len(users)
+    nb = -(-n // batch_users)
+    if nb >= 4:
+        # bulk: pad users (user 0 = pad row, sliced off), one dispatch
+        hist = _hist_dev(data)
+        up = np.zeros(nb * batch_users, dtype=np.int32)
+        up[:n] = users
+
+        def build():
+            core = _topk_core(model, k)
+
+            @jax.jit
+            def fn(params, users_all, hist_all):
+                def one(ub):
+                    return core(params, ub, hist_all[ub])
+                return jax.lax.map(one, users_all.reshape(nb, batch_users))
+            return fn
+
+        sc, it = _rec_fn(model, ("bulk", k, batch_users, nb), build)(
+            params, jnp.asarray(up), hist)
+        return (np.asarray(sc).reshape(-1, k)[:n],
+                np.asarray(it).reshape(-1, k)[:n])
+
+    fn = _rec_fn(model, ("one", k), lambda: jax.jit(_topk_core(model, k)))
+    outs = []
+    for s in range(0, n, batch_users):
+        ub = jnp.asarray(users[s:s + batch_users])
+        hb = jnp.asarray(data.hist[users[s:s + batch_users]])
+        outs.append(fn(params, ub, hb))
+    return (np.concatenate([np.asarray(sc) for sc, _ in outs]),
+            np.concatenate([np.asarray(it) for _, it in outs]))

@@ -44,6 +44,26 @@ def test_recommend_excludes_train_items():
                 assert item != 0
 
 
+def test_recommend_bulk_matches_per_batch():
+    """>=4 batches routes through the single-dispatch lax.map bulk program;
+    it must return exactly the per-batch path's results, including the
+    ragged final batch and for a sequence model (history gather on device)."""
+    from acf_tpu.models.sasrec import SASRec
+
+    data = make_data(seed=11)
+    users = data.eval_users()[:11]  # batch_users=2 -> 6 batches, last ragged
+    for model in (MFBPR(data.num_users, data.num_items, 8),
+                  SASRec(data.num_users, data.num_items, 8, maxlen=4)):
+        params = model.init_params(jax.random.PRNGKey(3))
+        s_bulk, i_bulk = recommend(model, params, data, users, k=5,
+                                   batch_users=2)
+        s_one, i_one = recommend(model, params, data, users, k=5,
+                                 batch_users=len(users))  # 1 batch: per-batch
+        np.testing.assert_array_equal(i_bulk, i_one)
+        np.testing.assert_allclose(s_bulk, s_one, rtol=1e-5)
+        assert i_bulk.shape == (11, 5)
+
+
 def test_recommend_factored_matches_score_all_path():
     """The factored (tiled top-K) and score_all branches of recommend() must
     return identical items for a dot-factored model."""
