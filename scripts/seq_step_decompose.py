@@ -91,6 +91,9 @@ def make_epoch(model, optimizer, mode: str):
                 return (prm, opt), {"loss": l}
             (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 prm, (users, seq, pos, neg), kl)
+            if mode == "grad":  # backward, no optimizer
+                prm = jax.tree.map(lambda p, g: p - 0.0 * g, prm, grads)
+                return (prm, opt), {"loss": aux["loss"]}
             updates, opt = optimizer.update(grads, opt, prm)
             prm = optax.apply_updates(prm, updates)
             return (prm, opt), {"loss": aux["loss"]}
@@ -129,6 +132,8 @@ def main():
 
     adv_table = TableASASRec(U, I, D, maxlen=MAXLEN, adversarial=True,
                              eps=0.5, reg_adv=1.0)
+    nodrop = SASRec(U, I, D, maxlen=MAXLEN, dropout_rate=0.0)
+    sgd = optax.sgd(0.001)
     variants = [
         ("asasrec", make_epoch(adv, adam, "train"), adv),
         ("asasrec-xla", make_epoch(adv_xla, adam, "train"), adv_xla),
@@ -137,6 +142,15 @@ def main():
          adam),
         ("sasrec-fwd", make_epoch(clean, adam, "fwd"), clean, adam),
         ("sasrec-fwd-xla", make_epoch(clean_xla, adam, "fwd"), clean_xla,
+         adam),
+        # overhead decomposition of the XLA step
+        ("sasrec-xla-grad", make_epoch(clean_xla, adam, "grad"), clean_xla,
+         adam),
+        ("sasrec-xla-sgd", make_epoch(clean_xla, sgd, "train"), clean_xla,
+         sgd),
+        ("sasrec-xla-nodrop", make_epoch(nodrop, adam, "train"), nodrop,
+         adam),
+        ("sasrec-xla-nodrop-fwd", make_epoch(nodrop, adam, "fwd"), nodrop,
          adam),
         ("sample", make_epoch(clean, adam, "sample"), clean, adam),
         ("noop", make_epoch(clean, adam, "noop"), clean, adam),
