@@ -62,9 +62,15 @@ def shard_params(mesh: Mesh, params, min_rows: int = 1024):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Shard leading batch dimension over the data axis."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+    """Shard leading batch dimension over the data axis.
+
+    Routes through ``input_pipeline.host_sharded_array`` so each host of a
+    multi-host mesh materializes only its local rows (a plain ``device_put``
+    of the global array is single-process-only); on one process it
+    degenerates to exactly that device_put."""
+    from acf_tpu.parallel.input_pipeline import host_sharded_array
+
+    return jax.tree.map(lambda x: host_sharded_array(mesh, x), batch)
 
 
 def data_parallel_step(mesh: Mesh, loss_and_grad_step):

@@ -162,3 +162,23 @@ def test_shard_params_and_batch_placement(mesh):
     assert placed["P"].sharding.spec == P("model", None)
     batch = shard_batch(mesh, (jnp.zeros((16,), jnp.int32),))
     assert batch[0].sharding.spec == P("data")
+
+
+def test_host_sharded_array_and_replicate(mesh):
+    """shard_batch routes through input_pipeline.host_sharded_array; on one
+    process it must equal a plain sharded device_put (values intact, leading
+    dim sharded over "data"), and replicate() must be fully replicated."""
+    from acf_tpu.parallel.input_pipeline import host_sharded_array, replicate
+
+    x = np.arange(32 * 3, dtype=np.int32).reshape(32, 3)
+    arr = host_sharded_array(mesh, x)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.spec == P("data")
+
+    batch = shard_batch(mesh, (x, x[:, 0]))
+    np.testing.assert_array_equal(np.asarray(batch[0]), x)
+    np.testing.assert_array_equal(np.asarray(batch[1]), x[:, 0])
+
+    r = replicate(mesh, x[:5])
+    np.testing.assert_array_equal(np.asarray(r), x[:5])
+    assert r.sharding.is_fully_replicated
