@@ -37,9 +37,10 @@ import optax  # noqa: E402
 from acf_tpu.models.sasrec import SASRec  # noqa: E402
 from acf_tpu.sampling.negatives import sample_seq_batch  # noqa: E402
 
-U, I, D, BS, MAXLEN = 31_013, 23_745, 64, 512, 8
+U, I, D, BS = 31_013, 23_745, 64, 512
+MAXLEN = int(os.environ.get("DECOMPOSE_MAXLEN", "8"))  # 8=Video, 50=ml-1m
 STEPS = int(os.environ.get("DECOMPOSE_STEPS", "1000"))
-HIST_L = 64  # Video mean history ~8; right-aligned window uses the tail
+HIST_L = max(64, MAXLEN)  # right-aligned window uses the tail
 
 
 def build_data(rng):
