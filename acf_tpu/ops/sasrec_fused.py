@@ -75,6 +75,13 @@ def _dense(w, b, x):
     return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
 
 
+# attention form switch: below this T the unrolled 3D VPU form wins (MXU
+# matmuls would be [T,d]@[d,T] slivers, one per user); at/above it the
+# per-user MXU form wins AND is the only one that fits VMEM — the unrolled
+# form keeps ~T live [C,T,d] buffers (measured 27.9 MB at C=16/T=50).
+_MXU_ATTN_T = 32
+
+
 def _attention_math(ws_blk, q_in, maskq, p_mask, keep, c, t):
     """q_in [N=C*T, d]; maskq [C, T]; p_mask [C, T*T] or None."""
     d = q_in.shape[-1]
@@ -82,16 +89,30 @@ def _attention_math(ws_blk, q_in, maskq, p_mask, keep, c, t):
     k = _dense(ws_blk["wk"]["w"], ws_blk["wk"]["b"], q_in).reshape(c, t, d)
     v = _dense(ws_blk["wv"]["w"], ws_blk["wv"]["b"], q_in).reshape(c, t, d)
     scale = 1.0 / math.sqrt(d)
-    # scores[:, :, s] = <q, k_s> — static loop keeps everything 3D
+    # tril via iota compare (Mosaic cannot lower int->bool truncation)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    causal = rows >= cols
+
+    if t >= _MXU_ATTN_T:
+        # per-user [T,d]@[d,T] MXU matmuls (static loop over the chunk)
+        outs = []
+        for i in range(c):
+            s = jnp.dot(q[i], k[i].T,
+                        preferred_element_type=jnp.float32) * scale
+            s = jnp.where(causal & (maskq[i][None, :] > 0), s, _NEG_INF)
+            p = jax.nn.softmax(s, axis=-1) * maskq[i][:, None]
+            if p_mask is not None:
+                p = jnp.where(p_mask[i].reshape(t, t) > 0, p / keep, 0.0)
+            outs.append(jnp.dot(p, v[i], preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=0) + q_in  # [C*T, d] + residual
+
+    # scores[:, :, s] = <q, k_s> — static loop keeps everything 3D (VPU)
     scores = jnp.concatenate(
         [jnp.sum(q * k[:, s:s + 1, :], axis=-1, keepdims=True) * scale
          for s in range(t)], axis=-1)  # [C, T, T]
     keym = maskq[:, None, :] > 0          # [C, 1, T] key mask
-    # tril via iota compare (Mosaic cannot lower int->bool truncation)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    causal = (rows >= cols)[None]
-    scores = jnp.where(causal & keym, scores, _NEG_INF)
+    scores = jnp.where(causal[None] & keym, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = probs * maskq[:, :, None]     # query masking
     if p_mask is not None:
