@@ -55,11 +55,11 @@ def main():
     cfg = TrainConfig(batch_size=512)
     tr = Trainer(model, data, opt, cfg)
 
-    tr.run_epoch()  # compile + warmup
     n_epochs = 5
+    tr.run_epoch()          # compile single-epoch program + warmup
+    tr.run_epochs(n_epochs)  # compile the fused block (the fit() hot path)
     t0 = time.time()
-    for _ in range(n_epochs):
-        tr.run_epoch()
+    tr.run_epochs(n_epochs)  # one dispatch for all 5 epochs, like fit()
     dt = time.time() - t0
     examples = n_epochs * tr.num_batches * cfg.batch_size
     ex_per_s = examples / dt

@@ -171,3 +171,43 @@ def test_sampled_sweep_caps_at_k10(tmp_path):
         lines = (out / "run.out").read_text().splitlines()
         ks = [ln for ln in lines if ln.startswith("K = ")]
         assert len(ks) == expect, (sampled, len(ks))
+
+
+def test_run_epochs_fused_bit_exact():
+    """run_epochs(n) (one dispatch per inter-eval block, the fit() hot path)
+    must be bit-exact with n sequential run_epoch calls — same per-epoch key
+    split order, same scan trajectory."""
+    data = synthetic_data(seed=3)
+    opt = optax.adagrad(0.05, initial_accumulator_value=0.1)
+
+    def mk():
+        m = MFBPR(data.num_users, data.num_items, 8, adversarial=True,
+                  eps=0.5, reg_adv=1.0)
+        return Trainer(m, data, opt, TrainConfig(batch_size=32, epochs=7,
+                                                 verbose=3))
+
+    a = mk()
+    for _ in range(5):
+        a.run_epoch()
+    b = mk()
+    b.run_epochs(2)
+    stats = b.run_epochs(3)
+    assert stats["loss"].shape == (3,)
+    import jax
+    pa, pb = jax.device_get(a.params), jax.device_get(b.params)
+    for k in pa:
+        assert np.array_equal(pa[k], pb[k]), k
+
+    # fit() with fusion enabled (verbose=3, no per-epoch saves) vs the
+    # unfused path (save_model_path forces per-epoch host work)
+    c = mk()
+    best_c = c.fit()
+    d = mk()
+    d.cfg = TrainConfig(batch_size=32, epochs=7, verbose=3,
+                        save_model_path="/tmp/acf_tpu_test_unfused")
+    best_d = d.fit()
+    pc, pd_ = jax.device_get(c.params), jax.device_get(d.params)
+    for k in pc:
+        assert np.array_equal(pc[k], pd_[k]), k
+    assert best_c["epoch"] == best_d["epoch"]
+    assert abs(best_c["ndcg"] - best_d["ndcg"]) < 1e-12
