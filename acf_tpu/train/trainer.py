@@ -44,6 +44,9 @@ class TrainConfig:
     topk: int = 10
     ckpt_every: int = 0       # save params every N epochs; 0 = off
     ckpt_path: Optional[str] = None
+    ckpt_backend: str = "npz"  # "npz" (single file) or "orbax" (directory
+                               # checkpoint, sharding-aware, async periodic
+                               # snapshots via AsyncSnapshotter)
     seed: int = 2019
     eval_batch_users: int = 512
     eval_sampled: bool = False  # rank against sampled negatives
@@ -212,6 +215,7 @@ class Trainer:
 
         self.best = {"ndcg": -1.0, "epoch": -1, "result": None}
         self._multi_cache = {}
+        self._snapshotter = None
 
     # ------------------------------------------------------------------
     def run_epoch(self):
@@ -266,15 +270,26 @@ class Trainer:
                                            sampled=True)
         return self.evaluator.evaluate_model(self.model, self.params)
 
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, blocking: bool = True):
         """Full train state: params + optimizer slots + RNG key (enables
         bit-exact resume, unlike the reference's embeddings-only Saver,
-        evaluation_adv.py:235)."""
-        save_params(path, {"params": self.params, "opt": self.opt_state,
-                           "key": self.key})
+        evaluation_adv.py:235). With the orbax backend and
+        ``blocking=False``, serialization/IO overlap with subsequent
+        training (periodic snapshots in :meth:`fit` use this)."""
+        state = {"params": self.params, "opt": self.opt_state,
+                 "key": self.key}
+        if self.cfg.ckpt_backend == "orbax" and not blocking:
+            if self._snapshotter is None:
+                from acf_tpu.train.checkpoint import AsyncSnapshotter
+                self._snapshotter = AsyncSnapshotter()
+            self._snapshotter.save(path, state)
+            return
+        save_params(path, state, backend=self.cfg.ckpt_backend)
 
     def restore_checkpoint(self, path: str):
         from acf_tpu.train.checkpoint import load_params
+        if self._snapshotter is not None:
+            self._snapshotter.wait()
         like = {"params": self.params, "opt": self.opt_state, "key": self.key}
         state = load_params(path, like)
         self.params = state["params"]
@@ -371,9 +386,13 @@ class Trainer:
             if cfg.ckpt_every and cfg.ckpt_path and epoch % cfg.ckpt_every == 0:
                 # full train state (params + opt slots + RNG), so a crashed
                 # run resumes bit-exactly — richer than the reference's
-                # embeddings-only periodic Saver (evaluation_adv.py:303-306)
-                self.save_checkpoint(f"{cfg.ckpt_path}-{epoch}")
+                # embeddings-only periodic Saver (evaluation_adv.py:303-306);
+                # orbax backend: IO overlaps with the next training block
+                self.save_checkpoint(f"{cfg.ckpt_path}-{epoch}",
+                                     blocking=False)
             epoch += 1
+        if self._snapshotter is not None:
+            self._snapshotter.wait()
         # the reference writes the K=1..100 sweep only at the terminal epoch
         # (evaluation_adv.py:295-300) — not between APR phases
         if final and self.best["result"] is not None:
