@@ -147,9 +147,19 @@ class SASRec(SequenceModel):
         b, t, d = q_in.shape
         h = self.num_heads
         dh = d // h
-        q = dense(blk["wq"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        k = dense(blk["wk"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        v = dense(blk["wv"], q_in).reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        # Single merged QKV matmul: column-block-wise identical to three
+        # separate denses (each output column is an independent dot product)
+        # but one MXU kernel instead of three in the forward and two instead
+        # of six in the backward — the SASRec step is kernel-count-bound at
+        # these shapes (docs/ROADMAP.md step decomposition).
+        w = jnp.concatenate(
+            [blk["wq"]["w"], blk["wk"]["w"], blk["wv"]["w"]], axis=1)
+        bias = jnp.concatenate(
+            [blk["wq"]["b"], blk["wk"]["b"], blk["wv"]["b"]])
+        qkv = q_in @ w + bias
+        q, k, v = (qkv[..., j * d:(j + 1) * d]
+                   .reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+                   for j in range(3))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
         causal = jnp.tril(jnp.ones((t, t), bool))
         key_mask = ids_mask[:, None, None, :]  # [B,1,1,T]

@@ -44,6 +44,12 @@ def make_ml1m_shaped():
     return interactions_from_frame(df, reindex=False, max_hist_len=512)
 
 
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main():
     from acf_tpu.models.mf import MFBPR
     from acf_tpu.train.trainer import Trainer, TrainConfig
@@ -58,9 +64,8 @@ def main():
     n_epochs = 5
     tr.run_epoch()          # compile single-epoch program + warmup
     tr.run_epochs(n_epochs)  # compile the fused block (the fit() hot path)
-    t0 = time.time()
-    tr.run_epochs(n_epochs)  # one dispatch for all 5 epochs, like fit()
-    dt = time.time() - t0
+    dt = min(  # best-of-3: the axon tunnel adds run-to-run jitter
+        _timed(lambda: tr.run_epochs(n_epochs)) for _ in range(3))
     examples = n_epochs * tr.num_batches * cfg.batch_size
     ex_per_s = examples / dt
 
