@@ -255,11 +255,23 @@ class SASRec(SequenceModel):
         auc = jnp.sum(((jnp.sign(pos_logit - neg_logit) + 1) / 2) * ist) / n
         return loss, auc
 
+    def _embed_rows(self, item_emb, seq, pos, neg):
+        """One combined [B, 3T] gather for the encoder input and the pos/neg
+        target rows (instead of three separate gathers — and one scatter-add
+        instead of three in the backward; the step is kernel-count-bound at
+        reference shapes)."""
+        t = seq.shape[1]
+        rows = item_emb[jnp.concatenate([seq, pos, neg], axis=1)]
+        return rows[:, :t], rows[:, t:2 * t], rows[:, 2 * t:]
+
     def _clean_loss_fn(self, params, seq, pos, neg):
         """No-dropout clean loss — the FGSM linearization point
         (SASRec.py:453-454 runs the delta update with is_training=False)."""
-        reprs = self.encode(params, seq, train=False)
-        loss, _ = self._pointwise_loss(reprs, params["item_emb"], pos, neg)
+        seq_e, pos_e, neg_e = self._embed_rows(params["item_emb"],
+                                               seq, pos, neg)
+        reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
+                                 seq != 0, train=False)
+        loss, _ = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
         return loss
 
     def _eps_tree(self, params):
@@ -314,8 +326,11 @@ class SASRec(SequenceModel):
     def loss(self, params, batch, key):
         users, seq, pos, neg = batch
         k_enc, k_adv = jax.random.split(key)
-        reprs = self.encode(params, seq, train=True, key=k_enc)
-        loss, auc = self._pointwise_loss(reprs, params["item_emb"], pos, neg)
+        seq_e, pos_e, neg_e = self._embed_rows(params["item_emb"],
+                                               seq, pos, neg)
+        reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
+                                 seq != 0, train=True, key=k_enc)
+        loss, auc = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
         if self.l2_emb:
             loss = loss + self.l2_emb * jnp.sum(jnp.square(params["item_emb"]))
         aux = {"loss": loss, "acc": auc}
@@ -342,10 +357,10 @@ class SASRec(SequenceModel):
                     sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
                     return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
 
-                pos_adv = (params["item_emb"][pos]
-                           + self.eps * _norm_rows(g_emb[pos]))
-                neg_adv = (params["item_emb"][neg]
-                           + self.eps * _norm_rows(g_emb[neg]))
+                t = seq.shape[1]  # one gather for both grad row sets
+                g_rows = g_emb[jnp.concatenate([pos, neg], axis=1)]
+                pos_adv = pos_e + self.eps * _norm_rows(g_rows[:, :t])
+                neg_adv = neg_e + self.eps * _norm_rows(g_rows[:, t:])
                 adv_loss, adv_auc = self._pointwise_loss_rows(
                     reprs, pos_adv, neg_adv, pos)
             else:
@@ -353,12 +368,18 @@ class SASRec(SequenceModel):
                 emb_plus = params["item_emb"] + delta["item_emb"]
                 if self.adv_mode == "asasrec2":
                     adv_params = jax.tree.map(jnp.add, params, delta)
-                    adv_reprs = self.encode(adv_params, seq, train=True,
-                                            key=k_adv)
+                    aseq_e, apos_e, aneg_e = self._embed_rows(
+                        emb_plus, seq, pos, neg)
+                    adv_reprs = self.encode_core(
+                        adv_params, aseq_e * math.sqrt(self.dim), seq != 0,
+                        train=True, key=k_adv)
                 else:
                     adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
-                adv_loss, adv_auc = self._pointwise_loss(adv_reprs, emb_plus,
-                                                         pos, neg)
+                    t = seq.shape[1]  # perturbed table read only at pos/neg
+                    rows = emb_plus[jnp.concatenate([pos, neg], axis=1)]
+                    apos_e, aneg_e = rows[:, :t], rows[:, t:]
+                adv_loss, adv_auc = self._pointwise_loss_rows(
+                    adv_reprs, apos_e, aneg_e, pos)
             loss = loss + self.reg_adv * adv_loss
             aux["loss_adv"] = adv_loss
             aux["acc_adv"] = adv_auc
