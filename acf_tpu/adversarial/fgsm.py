@@ -10,8 +10,9 @@ perturbed loss with weight ``reg_adv`` — to ANY model in the zoo
 
 Perturbed leaves default to every top-level 2-D parameter whose leading
 dimension is the user or item count (i.e. the embedding tables); pass
-``leaves`` to override. The base model's ``loss`` is the linearization
-point, mirroring APR's use of its own BPR loss.
+``leaves`` to override. The base model's ``adv_target_loss`` — its
+UNREGULARIZED training loss — is the linearization point, mirroring APR's
+use of its raw BPR loss (evaluation_adv.py:192-203).
 
 Use with the two-phase protocol exactly like apr/asasrec::
 
@@ -31,7 +32,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from acf_tpu.models.base import PairwiseModel, row_normalize
+from acf_tpu.models.base import PairwiseModel, project_rows, row_normalize
 
 
 @dataclasses.dataclass(eq=False)
@@ -89,13 +90,15 @@ class FGSMAdversarial(PairwiseModel):
         the APR recipe, evaluation_adv.py:192-203)."""
         names = self._leaf_names(params)
 
+        # linearize on the UNREGULARIZED loss — the APR recipe takes the
+        # delta from the raw BPR loss, not the regularized objective
+        # (evaluation_adv.py:162 vs 192-203); adv_target_loss defaults to
+        # the full loss for models without in-loss regularizers
         def clean(prm):
-            l, _ = self.base.loss(prm, batch, key)
-            return l
+            return self.base.adv_target_loss(prm, batch, key)
 
         def project(d):
-            n = jnp.sqrt(jnp.sum(jnp.square(d), -1, keepdims=True))
-            return d * jnp.minimum(1.0, self.eps / jnp.maximum(n, 1e-12))
+            return project_rows(d, self.eps)
 
         alpha = self.eps / self.adv_steps
         delta = {k: jnp.zeros_like(params[k]) for k in names}
@@ -115,8 +118,14 @@ class FGSMAdversarial(PairwiseModel):
         perturbed = dict(params)
         for k, d in delta.items():
             perturbed[k] = params[k] + d
-        loss_adv, aux_adv = self.base.loss(perturbed, batch, k_adv)
+        # the adversarial addend is the model's PRIMARY loss at the perturbed
+        # point — aux["loss"], the zoo convention for the pre-reg data loss
+        # (APR adds reg_adv · BPR_adv, the raw pairwise loss,
+        # evaluation_adv.py:168-174; re-weighting the base regularizer by
+        # reg_adv would train a different objective)
+        loss_adv_full, aux_adv = self.base.loss(perturbed, batch, k_adv)
+        loss_adv = aux_adv.get("loss", loss_adv_full)
         aux = dict(aux)
-        aux["loss_adv"] = aux_adv.get("loss", loss_adv)
+        aux["loss_adv"] = loss_adv
         aux["acc_adv"] = aux_adv.get("acc", jnp.float32(0.0))
         return loss + self.reg_adv * loss_adv, aux

@@ -244,6 +244,14 @@ def main(argv=None):
                 "pop", "mrv", "mfv", "av"):
             raise SystemExit(f"--fgsm does not apply to {args.model!r} "
                              "(already adversarial, or no embedding tables)")
+        if args.sparse:
+            # the wrapper would inherit SparseMFBPR.init_opt_state (the
+            # row-space Adagrad slot dict) while hiding its make_epoch_fn —
+            # the generic optax epoch then runs against the wrong opt-state
+            # tree; refuse loudly instead of silently dropping --sparse
+            raise SystemExit("--fgsm does not combine with --sparse "
+                             "(the row-space step has its own fused FGSM); "
+                             "use --model apr --sparse for sparse APR")
         clean = model
         model = FGSMAdversarial(data.num_users, data.num_items, args.d,
                                 base=clean, eps=args.eps,
@@ -276,11 +284,25 @@ def main(argv=None):
                       seed=args.seed)
 
     restore = (args.restore, args.restore_epoch) if args.restore else None
-    profiler = None
+    import contextlib
+    profiler = contextlib.ExitStack()
     if args.profile:
-        import contextlib
-        profiler = contextlib.ExitStack()
+        # ExitStack closes in the finally below, so the XPlane trace is
+        # flushed even when training raises (OOM, Ctrl-C, bad flags)
         profiler.enter_context(jax.profiler.trace(args.profile))
+    try:
+        best = _run(args, data, model, clean, optimizer, cfg, writer, restore)
+    finally:
+        profiler.close()
+    if args.profile:
+        writer.line(f"Profiler trace written to {args.profile}")
+    writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
+                % (best.get("epoch", -1), best.get("hr", 0.0),
+                   best.get("ndcg", 0.0)))
+    return best
+
+
+def _run(args, data, model, clean, optimizer, cfg, writer, restore):
     if clean is not None:
         # asasrec carries Adam slots into phase 2 (full-variable Saver,
         # utils.py:306-315); apr resets them (embeddings-only Saver,
@@ -300,12 +322,6 @@ def main(argv=None):
             best = trainer.fit(epoch_start=restore[1])
         else:
             best = trainer.fit()
-    if profiler is not None:
-        profiler.close()
-        writer.line(f"Profiler trace written to {args.profile}")
-    writer.line("End. Best Iteration %d: HR = %.4f, NDCG = %.4f"
-                % (best.get("epoch", -1), best.get("hr", 0.0),
-                   best.get("ndcg", 0.0)))
     return best
 
 

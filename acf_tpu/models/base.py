@@ -42,6 +42,15 @@ def bpr_pair_loss(pos_scores, neg_scores):
     return jnp.sum(jnp.logaddexp(0.0, -diff))
 
 
+def project_rows(d, eps, axis=-1):
+    """Per-row L2 projection into the ε-ball:
+    ``d * min(1, eps / max(||d||, 1e-12))`` — the PGD-style multi-step clip
+    shared by every adversarial path (a no-op at ``adv_steps == 1`` where
+    ``||d|| == eps`` exactly)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(d), axis=axis, keepdims=True))
+    return d * jnp.minimum(1.0, eps / jnp.maximum(n, 1e-12))
+
+
 @dataclasses.dataclass(eq=False)
 class PairwiseModel:
     """Base for models trained on (user, pos, neg) triples."""
@@ -57,6 +66,16 @@ class PairwiseModel:
 
     def loss(self, params, batch, key):
         raise NotImplementedError
+
+    def adv_target_loss(self, params, batch, key):
+        """Linearization target for FGSM/PGD perturbations: the
+        UNREGULARIZED training loss. The reference's FGSM linearizes on the
+        raw BPR/pointwise loss (evaluation_adv.py:192-203, SASRec.py:365-371),
+        never on the regularized objective. The default returns the full
+        loss — correct for the zoo models whose ``loss`` has no in-loss
+        regularizer; models that fold one in (MFBPR ``reg``, SASRec
+        ``l2_emb``) override."""
+        return self.loss(params, batch, key)[0]
 
     def score_some(self, params, users, hists, items):
         """Default: gather columns of the full-catalog scores."""

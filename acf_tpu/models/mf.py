@@ -21,7 +21,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from acf_tpu.models.base import PairwiseModel, bpr_pair_loss, row_normalize
+from acf_tpu.models.base import (
+    PairwiseModel, bpr_pair_loss, project_rows, row_normalize,
+)
 
 
 def _trunc_normal(key, shape, std=0.01):
@@ -49,6 +51,11 @@ class MFBPR(PairwiseModel):
                         # grad-at-perturbed-point → ε·normalize, an extension
                         # beyond the reference's single FGSM step (MSAP,
                         # arXiv:2010.01329)
+    # manual_grads aggregates duplicate rows with [B,B]/[2B,2B] equality
+    # matrices on the MXU — O(B²) memory ([2B,2B] f32 ≈ 1 GB at B=8192), so
+    # past this batch size the trainer falls back to autodiff (same gate as
+    # SparseMFBPR's dedup="auto")
+    manual_grads_max_batch: int = 4096
 
     def init_params(self, key):
         kp, kq = jax.random.split(key)
@@ -121,9 +128,7 @@ class MFBPR(PairwiseModel):
             return bpr_pair_loss(pos_s, neg_s)
 
         def project(d):
-            # per-row L2 projection into the ε-ball (no-op at adv_steps=1)
-            n = jnp.sqrt(jnp.sum(jnp.square(d), -1, keepdims=True))
-            return d * jnp.minimum(1.0, self.eps / jnp.maximum(n, 1e-12))
+            return project_rows(d, self.eps)
 
         alpha = self.eps / self.adv_steps
         dP = jnp.zeros_like(params["P"])
@@ -224,6 +229,14 @@ class MFBPR(PairwiseModel):
         aux = {"loss": loss, "acc": acc,
                "loss_adv": loss_adv, "acc_adv": acc_adv}
         return grads, aux
+
+    def adv_target_loss(self, params, batch, key):
+        """FGSM linearization target: the raw BPR loss WITHOUT the reg term
+        (the reference's delta is grad of ``self.loss``, the pre-reg pairwise
+        loss, evaluation_adv.py:162 vs 192-203)."""
+        users, pos, neg = batch
+        loss, _, _ = self._clean_loss(params, users, pos, neg)
+        return loss
 
     def adv_encoders(self):
         """Embedding towers for the popularity-discriminator machinery

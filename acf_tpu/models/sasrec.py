@@ -34,9 +34,9 @@ import math
 import jax
 import jax.numpy as jnp
 
-from acf_tpu.models.base import SequenceModel
+from acf_tpu.models.base import SequenceModel, project_rows, row_normalize
 from acf_tpu.nn.layers import (
-    dense, dropout, glorot_uniform, init_dense, init_layer_norm, layer_norm,
+    dense, glorot_uniform, init_dense, init_layer_norm, layer_norm,
     trunc_normal,
 )
 
@@ -274,6 +274,13 @@ class SASRec(SequenceModel):
         loss, _ = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
         return loss
 
+    def adv_target_loss(self, params, batch, key):
+        """FGSM linearization target: the no-dropout pointwise loss WITHOUT
+        the l2_emb regularizer (the reference's delta update runs on the raw
+        loss with is_training=False, SASRec.py:365-371, 453-454)."""
+        users, seq, pos, neg = batch
+        return self._clean_loss_fn(params, seq, pos, neg)
+
     def _eps_tree(self, params):
         """Per-leaf perturbation radii as a pytree of python floats: 0.0 for
         leaves the protocol leaves clean (the reference assigns dense deltas
@@ -308,9 +315,9 @@ class SASRec(SequenceModel):
         def project(d, e):
             if e == 0.0:
                 return jnp.zeros_like(d)
-            axis = 1 if d.ndim >= 2 else None
-            n = jnp.sqrt(jnp.sum(jnp.square(d), axis=axis, keepdims=True))
-            return d * jnp.minimum(1.0, e / jnp.maximum(n, 1e-12))
+            # tf.nn.l2_normalize axis convention: rows for matrices, the
+            # whole tensor for vectors (matches _tf_l2_normalize)
+            return project_rows(d, e, axis=1 if d.ndim >= 2 else None)
 
         delta = jax.tree.map(jnp.zeros_like, params)
         for _ in range(self.adv_steps):
@@ -353,14 +360,12 @@ class SASRec(SequenceModel):
                     lambda emb: self._clean_loss_fn(
                         {**prm_c, "item_emb": emb}, seq, pos, neg)
                 )(prm_c["item_emb"])
-                def _norm_rows(x):  # table rows normalize on axis=1 == last
-                    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-                    return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-
+                # row_normalize == tf.nn.l2_normalize(axis=1) on table rows:
+                # gathered [B, 2T, d] rows normalize on the last axis
                 t = seq.shape[1]  # one gather for both grad row sets
                 g_rows = g_emb[jnp.concatenate([pos, neg], axis=1)]
-                pos_adv = pos_e + self.eps * _norm_rows(g_rows[:, :t])
-                neg_adv = neg_e + self.eps * _norm_rows(g_rows[:, t:])
+                pos_adv = pos_e + self.eps * row_normalize(g_rows[:, :t])
+                neg_adv = neg_e + self.eps * row_normalize(g_rows[:, t:])
                 adv_loss, adv_auc = self._pointwise_loss_rows(
                     reprs, pos_adv, neg_adv, pos)
             else:

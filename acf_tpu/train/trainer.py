@@ -17,7 +17,6 @@ Collapses the reference's three ~90%-duplicate driver stacks
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -71,8 +70,14 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
     """
     dns = getattr(model, "dns", 1)
     # closed-form fused-step gradients when the model provides them (MFBPR
-    # APR path — one scatter-add per table instead of nested-autodiff's ~6)
+    # APR path — one scatter-add per table instead of nested-autodiff's ~6).
+    # The closed form aggregates duplicate rows with O(B²) equality matrices
+    # on the MXU, so past the model's batch cap ([2B,2B] f32 ≈ 1 GB at
+    # B=8192) autodiff is the cheaper program.
     manual_grads = getattr(model, "manual_grads", None)
+    if manual_grads is not None and batch_size > getattr(
+            model, "manual_grads_max_batch", 4096):
+        manual_grads = None
 
     def _grads(prm, batch, kl):
         if manual_grads is not None:

@@ -146,6 +146,16 @@ def test_cli_fgsm_rejects_adversarial_models(tmp_path):
                      "--opath", str(tmp_path) + "/"])
 
 
+def test_cli_fgsm_rejects_sparse(tmp_path):
+    # --sparse --fgsm would wrap SparseMFBPR (inheriting its row-space
+    # Adagrad opt-state) while the wrapper hides make_epoch_fn — the generic
+    # optax epoch then crashes on the wrong opt-state tree
+    import pytest
+    with pytest.raises(SystemExit, match="sparse"):
+        main(ARGS + ["--model", "bpr", "--sparse", "--fgsm",
+                     "--opath", str(tmp_path) + "/"])
+
+
 def test_cli_profile_trace(tmp_path):
     trace_dir = str(tmp_path / "trace")
     best = main(ARGS + ["--model", "bpr", "--opath", str(tmp_path) + "/",

@@ -43,6 +43,26 @@ def test_matches_apr_on_mfbpr():
     np.testing.assert_allclose(float(la), float(lw), rtol=1e-6)
 
 
+def test_linearizes_on_unregularized_loss():
+    """With reg != 0 the wrapper's deltas must still match built-in APR's:
+    both linearize FGSM on the RAW BPR loss, not the regularized objective
+    (evaluation_adv.py:162 vs 192-203)."""
+    data = synthetic_data(seed=23)
+    U, I = data.num_users, data.num_items
+    apr = MFBPR(U, I, 8, adversarial=True, eps=0.5, reg=0.05)
+    wrap = FGSMAdversarial(U, I, 8, base=MFBPR(U, I, 8, reg=0.05), eps=0.5)
+    params = apr.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    users = jnp.asarray(rng.integers(1, U, 16, dtype=np.int32))
+    pos = jnp.asarray(rng.integers(1, I, 16, dtype=np.int32))
+    neg = jnp.asarray(rng.integers(1, I, 16, dtype=np.int32))
+    key = jax.random.PRNGKey(1)
+    dP, dQ = apr.fgsm_deltas(params, users, pos, neg, key)
+    dw = wrap.deltas(params, (users, pos, neg), key)
+    np.testing.assert_allclose(np.asarray(dP), np.asarray(dw["P"]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dQ), np.asarray(dw["Q"]), atol=1e-7)
+
+
 @pytest.mark.parametrize("cls,kw", [
     (GRU4Rec, {"maxlen": 5}), (DREAM, {"maxlen": 5}), (NeuMF, {}),
     (DRCF, {"maxlen": 5}), (Caser, {"maxlen": 5}),

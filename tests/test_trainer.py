@@ -211,3 +211,28 @@ def test_run_epochs_fused_bit_exact():
         assert np.array_equal(pc[k], pd_[k]), k
     assert best_c["epoch"] == best_d["epoch"]
     assert abs(best_c["ndcg"] - best_d["ndcg"]) < 1e-12
+
+
+def test_manual_grads_batch_cap_falls_back_to_autodiff():
+    """Above manual_grads_max_batch the pair epoch must NOT take the
+    closed-form path — its O(B²) equality matrices ([2B,2B] f32 ≈ 1 GB at
+    B=8192) cost more than the autodiff program it replaces."""
+
+    class Poisoned(MFBPR):
+        @property
+        def manual_grads(self):
+            if MFBPR.manual_grads.fget(self) is None:
+                return None
+
+            def boom(*a, **k):
+                raise AssertionError("manual_grads used above the batch cap")
+
+            return boom
+
+    data = synthetic_data(seed=30)
+    model = Poisoned(data.num_users, data.num_items, 8, adversarial=True,
+                     manual_grads_max_batch=8)
+    tr = Trainer(model, data, optax.adagrad(0.05),
+                 TrainConfig(batch_size=32, verbose=10**9))
+    stats = tr.run_epoch()  # would raise if the closed form were selected
+    assert np.isfinite(stats["loss"])
