@@ -182,3 +182,51 @@ def test_host_sharded_array_and_replicate(mesh):
     r = replicate(mesh, x[:5])
     np.testing.assert_array_equal(np.asarray(r), x[:5])
     assert r.sharding.is_fully_replicated
+
+
+def test_sharded_positions_match_single_device(mesh):
+    """Sharded full-catalog eval (users over "data", table rows over
+    "model", psum rank merge) must reproduce _positions_full EXACTLY —
+    the dot contraction is never split, so scores are bit-identical.
+    I=63 exercises the shard_table zero-pad row masking."""
+    from acf_tpu.eval.full_rank import _positions_full
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.parallel.sharded_eval import sharded_positions_for_model
+
+    rng = np.random.default_rng(5)
+    U, I, d, B = 32, 63, 8, 16
+    model = MFBPR(U, I, d)
+    params = model.init_params(jax.random.PRNGKey(0))
+    users = jnp.asarray(rng.integers(1, U, B, dtype=np.int32))
+    hists = jnp.asarray(rng.integers(0, I, (B, 5)).astype(np.int32))
+    gt = jnp.asarray(rng.integers(1, I, B, dtype=np.int32))
+
+    want = np.asarray(_positions_full(model.score_all, params,
+                                      users, hists, gt))
+    with mesh:
+        got = sharded_positions_for_model(mesh, model, params,
+                                          users, hists, gt)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sharded_positions_with_bias_model(mesh):
+    """Same equality through a factored scorer WITH a per-item bias and a
+    nontrivial (conv) user tower: Caser's W2/b2 item embeddings."""
+    from acf_tpu.eval.full_rank import _positions_full
+    from acf_tpu.models.caser import Caser
+    from acf_tpu.parallel.sharded_eval import sharded_positions_for_model
+
+    rng = np.random.default_rng(6)
+    U, I, d, B, T = 32, 50, 8, 16, 5
+    model = Caser(U, I, d, maxlen=T)
+    params = model.init_params(jax.random.PRNGKey(1))
+    users = jnp.asarray(rng.integers(1, U, B, dtype=np.int32))
+    hists = jnp.asarray(rng.integers(0, I, (B, T)).astype(np.int32))
+    gt = jnp.asarray(rng.integers(1, I, B, dtype=np.int32))
+
+    want = np.asarray(_positions_full(model.score_all, params,
+                                      users, hists, gt))
+    with mesh:
+        got = sharded_positions_for_model(mesh, model, params,
+                                          users, hists, gt)
+    np.testing.assert_array_equal(np.asarray(got), want)
