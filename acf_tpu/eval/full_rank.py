@@ -125,17 +125,25 @@ class FullRankEvaluator:
     """
 
     def __init__(self, data: Interactions, batch_users: int = 512, K: int = 100,
-                 eval_hist_len: Optional[int] = None):
+                 eval_hist_len: Optional[int] = None, mesh=None):
         # NOTE: histories are kept FULL here — sequence models slice their
         # own window (hists[:, -maxlen:]) but train-item masking must see the
         # whole history. ``eval_hist_len`` is accepted for backwards
         # compatibility and ignored.
+        # ``mesh``: a ("data", "model") jax Mesh. When set, factored models
+        # evaluate through parallel/sharded_eval.py — users sharded over
+        # "data", item-table rows over "model", positions psum-merged —
+        # instead of replicating the table per device.
         self.K = K
         self.data = data
+        self.mesh = mesh
+        self._sharded_cache = {}
         users = data.eval_users()
         self.users = users
         n = len(users)
         self.batch_users = min(batch_users, max(n, 1))
+        if mesh is not None:  # tiles shard over "data" → round up to divide
+            self.batch_users += (-self.batch_users) % mesh.shape["data"]
         # pad to a multiple of the tile size; padded rows are dropped after.
         pad = (-n) % self.batch_users
         self._pad = pad
@@ -223,12 +231,54 @@ class FullRankEvaluator:
         pos = np.asarray(jnp.concatenate(out))
         return pos[: len(self.users)]
 
+    def positions_sharded(self, model, params) -> np.ndarray:
+        """Rank positions through the mesh-sharded evaluator (requires
+        ``mesh`` and a factored scorer). Each user tile is sharded over the
+        "data" axis and scored against the row-sharded item table; exact vs
+        the single-device paths (see parallel/sharded_eval.py)."""
+        from acf_tpu.parallel.mesh import shard_batch
+        from acf_tpu.parallel.sharded_embedding import shard_table
+        from acf_tpu.parallel.sharded_eval import make_sharded_positions
+
+        assert self.mesh is not None
+        dp = self.mesh.shape["data"]
+        assert self.batch_users % dp == 0, (
+            f"batch_users={self.batch_users} must divide by the data-axis "
+            f"size {dp} for sharded evaluation")
+        user_repr_fn, table_fn = model.factored_scorer()
+        fn = self._sharded_cache.get(user_repr_fn)
+        if fn is None:
+            fn = make_sharded_positions(self.mesh, user_repr_fn,
+                                        model.num_items)
+            self._sharded_cache[user_repr_fn] = fn
+        table, bias = table_fn(params)
+        table_shard = shard_table(self.mesh, table)
+        m = self.mesh.shape["model"]
+        if bias is None:
+            bias = jnp.zeros((table_shard.shape[0],), table.dtype)
+        elif bias.shape[0] % m:
+            bias = jnp.pad(bias, (0, (-bias.shape[0]) % m))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bias_shard = jax.device_put(bias, NamedSharding(self.mesh, P("model")))
+        out = []
+        for users, hists, gt, _, _ in self._tiles():
+            users, hists, gt = shard_batch(self.mesh, (users, hists, gt))
+            out.append(fn(params, table_shard, bias_shard, users, hists, gt))
+        if not out:
+            return np.zeros(0, dtype=np.int32)
+        pos = np.asarray(jnp.concatenate(out))
+        return pos[: len(self.users)]
+
     def evaluate_model(self, model, params) -> EvalResult:
-        """Evaluate a model, preferring its factored (Pallas) scorer when it
-        provides one via ``factored_scorer()``."""
+        """Evaluate a model, preferring the mesh-sharded path when a mesh is
+        configured, then the factored (Pallas) scorer when the model provides
+        one via ``factored_scorer()``."""
         fs = getattr(model, "factored_scorer", lambda: None)()
         if fs is not None:
-            pos = self.positions_factored(fs[0], fs[1], params)
+            if self.mesh is not None:
+                pos = self.positions_sharded(model, params)
+            else:
+                pos = self.positions_factored(fs[0], fs[1], params)
             hr, ndcg, auc = metrics_from_position(pos, self._num_neg, self.K)
             return EvalResult(hr=np.asarray(hr), ndcg=np.asarray(ndcg),
                               auc=np.asarray(auc))

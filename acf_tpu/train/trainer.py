@@ -55,6 +55,10 @@ class TrainConfig:
     # new best NDCG to <save_model_path>.best.npz and after every epoch to
     # <save_model_path>.last.npz. None = off.
     save_model_path: Optional[str] = None
+    # a ("data", "model") jax Mesh: evaluation of factored models runs
+    # through the sharded evaluator (parallel/sharded_eval.py) — users over
+    # "data", item-table rows over "model". None = single-device eval.
+    mesh: Optional[object] = None
 
 
 def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
@@ -478,7 +482,7 @@ class Trainer:
     def _make_evaluator(self, model):
         eval_bu, hist_len = self._eval_key(model)
         return FullRankEvaluator(self.data, batch_users=eval_bu,
-                                 eval_hist_len=hist_len)
+                                 eval_hist_len=hist_len, mesh=self.cfg.mesh)
 
 
 def fit_two_phase(clean_model, adv_model, data: Interactions, optimizer,

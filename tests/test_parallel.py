@@ -230,3 +230,31 @@ def test_sharded_positions_with_bias_model(mesh):
         got = sharded_positions_for_model(mesh, model, params,
                                           users, hists, gt)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_trainer_mesh_eval_matches_default(mesh):
+    """TrainConfig(mesh=...) routes evaluation through the sharded path;
+    metrics must equal the single-device evaluator exactly (positions are
+    bit-identical — the dot contraction is never split)."""
+    import optax
+
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=40)
+    mk = lambda cfg: Trainer(
+        MFBPR(data.num_users, data.num_items, 8), data,
+        optax.adagrad(0.05), cfg)
+    a = mk(TrainConfig(batch_size=32, verbose=10**9))
+    b = mk(TrainConfig(batch_size=32, verbose=10**9, mesh=mesh))
+    a.run_epoch()
+    b.run_epoch()
+    pa, pb = jax.device_get(a.params), jax.device_get(b.params)
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pb[k])
+    ra = a.evaluate()
+    rb = b.evaluate()
+    np.testing.assert_array_equal(ra.hr, rb.hr)
+    np.testing.assert_array_equal(ra.ndcg, rb.ndcg)
+    np.testing.assert_array_equal(ra.auc, rb.auc)
