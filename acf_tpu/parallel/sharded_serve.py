@@ -1,0 +1,122 @@
+"""Mesh-sharded serving: top-K recommendation over a device mesh.
+
+The single-device serving path (ops/topk.py::recommend) keeps the whole
+item table and the [B, I] score tiles on one chip. For production catalogs
+that replication is the binding constraint, so this module shards the same
+computation over the 2-axis mesh exactly like sharded evaluation
+(parallel/sharded_eval.py):
+
+  * request users over "data" — each device serves its own user shard;
+  * item-table rows over "model" — each device scores only its catalog
+    shard, reduces to a LOCAL top-K immediately (only [B, k] candidates
+    per device ever exist), and one ``all_gather`` over the model axis
+    merges the per-shard candidate lists into the global top-K.
+
+Semantics are identical to ``ops.topk.topk_factored`` (the reference has no
+serving path at all — its closest analog is the per-user ``sess.run`` rank
+loop, SASRec.py:424-436 / evaluation_adv.py:463-470): HIGHEST-precision
+scoring, pad id 0 / catalog padding / the user's train items masked. The
+dot contraction (over ``d``) is never split, so the sharded scores are
+bit-identical to the single-device path and the returned (scores, items)
+match EXACTLY (tested on the 8-virtual-device CPU mesh).
+
+Everything degenerates to the plain computation at mesh size 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from acf_tpu.ops.topk import NEG
+
+
+def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
+                           k: int = 10):
+    """Build the sharded top-K function for dot-factored models
+    (scores = ``user_repr(params, users, hists) @ table.T + bias``).
+
+    Returns ``rec(params, table_shard, bias_shard, users, hists)
+    -> (scores [B, k], items [B, k])`` sorted descending, where
+
+      * ``params`` is replicated (user tower / encoder weights);
+      * ``table_shard`` is the item table placed with
+        :func:`acf_tpu.parallel.sharded_embedding.shard_table` (row-sharded
+        over "model", zero-padded to a multiple of the axis size — padded
+        rows are masked out here via ``num_items``);
+      * ``bias_shard`` is a per-item bias sharded ``P("model")`` (zeros for
+        bias-free models);
+      * ``users [B] / hists [B, L]`` are sharded over "data" (``B``
+        divisible by the data-axis size).
+    """
+
+    def rec(params, table_shard, bias_shard, users, hists):
+        # HIGHEST precision: TPU matmuls otherwise truncate f32→bf16 and
+        # reorder near-tie items vs the evaluator (same rule as ops/topk.py)
+        with jax.default_matmul_precision("highest"):
+            reprs = user_repr_fn(params, users, hists)        # [Bl, d]
+            scores = reprs @ table_shard.T                    # [Bl, Il]
+        scores = scores + bias_shard[None, :]
+        bl, il = scores.shape
+        offset = jax.lax.axis_index("model") * il
+        gids = offset + jnp.arange(il)                        # global ids
+
+        # mask pad id 0, shard_table's zero-padded tail rows, and the
+        # user's train items (compared against GLOBAL ids, so out-of-shard
+        # history entries are naturally inert)
+        invalid = ((gids == 0) | (gids >= num_items))[None, :]
+        invalid = invalid | (gids[None, None, :] == hists[:, :, None]).any(1)
+        scores = jnp.where(invalid, NEG, scores)
+
+        s, idx = jax.lax.top_k(scores, k)                     # local top-K
+        gi = gids[idx]
+
+        # merge: gather every shard's [Bl, k] candidates and re-top-K.
+        # Shard-major concat keeps tie order = ascending global id, matching
+        # the single-device top_k's lowest-index-first tie rule.
+        s_all = jax.lax.all_gather(s, "model")                # [m, Bl, k]
+        i_all = jax.lax.all_gather(gi, "model")
+        m = s_all.shape[0]
+        s_all = jnp.moveaxis(s_all, 0, 1).reshape(bl, m * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(bl, m * k)
+        fs, fidx = jax.lax.top_k(s_all, k)
+        return fs, jnp.take_along_axis(i_all, fidx, axis=1)
+
+    return jax.jit(shard_map(
+        rec, mesh=mesh,
+        in_specs=(P(), P("model", None), P("model"),
+                  P("data"), P("data", None)),
+        out_specs=(P("data", None), P("data", None)),
+    ))
+
+
+def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,
+                                k: int = 10):
+    """Convenience wrapper: sharded top-K for any model exposing
+    ``factored_scorer()`` (MF family, SASRec, Caser, ...). Shards the item
+    table on the fly — for a long-lived serving process build the pieces
+    once via :func:`make_sharded_recommend` instead.
+
+    ``len(users)`` must be divisible by the data-axis size (pad requests
+    with user 0 and slice the tail off, as ops/topk.py::recommend does).
+    """
+    from acf_tpu.parallel.mesh import shard_batch
+    from acf_tpu.parallel.sharded_embedding import shard_table
+
+    fs = model.factored_scorer()
+    if fs is None:
+        raise ValueError(f"{type(model).__name__} has no factored scorer")
+    user_repr_fn, table_fn = fs
+    table, bias = table_fn(params)
+    table_shard = shard_table(mesh, table)
+    if bias is None:
+        bias = jnp.zeros((table.shape[0],), table.dtype)
+    pad = (-bias.shape[0]) % mesh.shape["model"]
+    if pad:
+        bias = jnp.pad(bias, (0, pad))
+    bias_shard = jax.device_put(bias, NamedSharding(mesh, P("model")))
+    fn = make_sharded_recommend(mesh, user_repr_fn, model.num_items, k=k)
+    users, hists = shard_batch(mesh, (users, hists))
+    return fn(params, table_shard, bias_shard, users, hists)

@@ -258,3 +258,49 @@ def test_trainer_mesh_eval_matches_default(mesh):
     np.testing.assert_array_equal(ra.hr, rb.hr)
     np.testing.assert_array_equal(ra.ndcg, rb.ndcg)
     np.testing.assert_array_equal(ra.auc, rb.auc)
+
+
+def test_sharded_recommend_matches_single_device(mesh):
+    """Sharded serving (users over "data", table rows over "model",
+    local top-K + all_gather merge) must reproduce the single-device
+    topk_factored EXACTLY — same masking rules, unsplit dot contraction.
+    I=63 exercises the shard_table zero-pad row masking."""
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.ops.topk import _topk_core
+    from acf_tpu.parallel.sharded_serve import sharded_recommend_for_model
+
+    rng = np.random.default_rng(7)
+    U, I, d, B, k = 32, 63, 8, 16, 5
+    model = MFBPR(U, I, d)
+    params = model.init_params(jax.random.PRNGKey(0))
+    users = jnp.asarray(rng.integers(1, U, B, dtype=np.int32))
+    hists = jnp.asarray(rng.integers(0, I, (B, 5)).astype(np.int32))
+
+    ws, wi = _topk_core(model, k)(params, users, hists)
+    with mesh:
+        gs, gi = sharded_recommend_for_model(mesh, model, params,
+                                             users, hists, k=k)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-6)
+
+
+def test_sharded_recommend_bias_model(mesh):
+    """Same equality through a factored scorer WITH a per-item bias and a
+    conv user tower (Caser's W2/b2 item embeddings)."""
+    from acf_tpu.models.caser import Caser
+    from acf_tpu.ops.topk import _topk_core
+    from acf_tpu.parallel.sharded_serve import sharded_recommend_for_model
+
+    rng = np.random.default_rng(8)
+    U, I, d, B, T, k = 32, 50, 8, 16, 5, 4
+    model = Caser(U, I, d, maxlen=T)
+    params = model.init_params(jax.random.PRNGKey(1))
+    users = jnp.asarray(rng.integers(1, U, B, dtype=np.int32))
+    hists = jnp.asarray(rng.integers(0, I, (B, T)).astype(np.int32))
+
+    ws, wi = _topk_core(model, k)(params, users, hists)
+    with mesh:
+        gs, gi = sharded_recommend_for_model(mesh, model, params,
+                                             users, hists, k=k)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-6)
