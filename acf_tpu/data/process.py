@@ -3,8 +3,15 @@
 Re-implements reference process_data.py:5-52: 10-core filtering, 1-based
 category reindex, chronological sort, per-user leave-one-out split into
 ``<name>.train.rating`` / ``<name>.test.rating`` TSVs (uid, iid, rating,
-timestamp), plus the ``-sort`` (dedup-free) and ``-sort-dup``
-(consecutive-duplicate-collapsed) variants.
+timestamp), plus the ``-sort`` (dedup-free) and ``-sort-dup`` variants.
+
+``-sort-dup`` follows the reference exactly (process_data.py:27
+``df.drop_duplicates(['uid', 'iid'])``): for every (uid, iid) pair only
+the chronologically FIRST interaction survives, even when the repeats are
+far apart — see :func:`drop_duplicate_pairs`. The stricter
+consecutive-only collapse (:func:`collapse_consecutive_duplicates`) is
+kept as a separate opt-in (``dedup="consecutive"``) for check-in data
+where only immediate revisits should merge.
 """
 
 from __future__ import annotations
@@ -27,9 +34,19 @@ def core_filter(df: pd.DataFrame, min_items: int = 10,
     return df
 
 
+def drop_duplicate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """The reference's ``-sort-dup`` semantics (process_data.py:27):
+    ``df.drop_duplicates(['uid', 'iid'])`` on the chronologically-sorted
+    frame — keep only the FIRST interaction of every (uid, iid) pair,
+    wherever the repeats fall in the sequence."""
+    df = df.sort_values(["uid", "timestamp"], kind="stable")
+    return df[~df.duplicated(["uid", "iid"], keep="first")]
+
+
 def collapse_consecutive_duplicates(df: pd.DataFrame) -> pd.DataFrame:
-    """Drop rows repeating the previous item within a user's sequence
-    (the reference's ``-sort-dup`` variant, process_data.py:40-52)."""
+    """Stricter alternative dedup (NOT the reference's): drop only rows
+    repeating the immediately-previous item within a user's sequence, so
+    genuine re-visits later in the history survive."""
     df = df.sort_values(["uid", "timestamp"], kind="stable")
     same = (df["uid"].values[1:] == df["uid"].values[:-1]) & \
         (df["iid"].values[1:] == df["iid"].values[:-1])
@@ -46,8 +63,14 @@ def leave_one_out_split(df: pd.DataFrame):
 
 
 def write_rating_files(df: pd.DataFrame, out_dir: str, name: str,
-                       reindex: bool = True, dedup: bool = False) -> None:
-    """Produce ``<name>.train.rating`` / ``<name>.test.rating``."""
+                       reindex: bool = True, dedup=False) -> None:
+    """Produce ``<name>.train.rating`` / ``<name>.test.rating``.
+
+    ``dedup``: False = keep every interaction (``-sort``); True or
+    ``"pairs"`` = the reference's ``-sort-dup`` (global first-occurrence
+    per (uid, iid), process_data.py:27); ``"consecutive"`` = collapse only
+    immediate repeats (non-reference opt-in).
+    """
     df = df.copy()
     if "rating" not in df.columns:
         df["rating"] = 1
@@ -56,8 +79,10 @@ def write_rating_files(df: pd.DataFrame, out_dir: str, name: str,
     if reindex:
         df["uid"] = df["uid"].astype("category").cat.codes.values
         df["iid"] = df["iid"].astype("category").cat.codes.values
-    if dedup:
+    if dedup == "consecutive":
         df = collapse_consecutive_duplicates(df)
+    elif dedup:
+        df = drop_duplicate_pairs(df)
     train, test = leave_one_out_split(df)
     os.makedirs(out_dir, exist_ok=True)
     cols = ["uid", "iid", "rating", "timestamp"]

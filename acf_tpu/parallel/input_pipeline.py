@@ -32,17 +32,33 @@ def host_sharded_array(mesh: Mesh, global_data: np.ndarray,
     # each process contributes its slice of the leading dim; pad the tail
     # (wrapping the first rows) so a non-divisible dataset never silently
     # drops its last n % process_count examples
-    n = global_data.shape[0]
-    count = jax.process_count()
-    per = -(-n // count)
-    if per * count != n:
-        extra = per * count - n
-        global_data = np.concatenate([global_data, global_data[:extra]],
-                                     axis=0)
-    start = jax.process_index() * per
-    local = global_data[start:start + per]
+    local, padded_n = process_local_rows(
+        global_data, jax.process_count(), jax.process_index())
     return jax.make_array_from_process_local_data(
-        sharding, local, global_shape=global_data.shape)
+        sharding, local,
+        global_shape=(padded_n,) + global_data.shape[1:])
+
+
+def process_rows(n: int, count: int, index: int):
+    """Pure index math for the multi-host slice of a length-``n`` leading
+    dim over ``count`` processes: ``(start, per, pad)`` where ``per`` is
+    the (ceil) rows per process, ``pad`` the number of wrap rows appended
+    (first ``pad`` rows of the array repeated at the tail so nothing is
+    dropped when ``count`` does not divide ``n``), and ``start`` process
+    ``index``'s offset into the padded array."""
+    per = -(-n // count)
+    pad = per * count - n
+    return index * per, per, pad
+
+
+def process_local_rows(global_data: np.ndarray, count: int, index: int):
+    """(local slice for this process, padded global length)."""
+    n = global_data.shape[0]
+    start, per, pad = process_rows(n, count, index)
+    if pad:
+        global_data = np.concatenate([global_data, global_data[:pad]],
+                                     axis=0)
+    return global_data[start:start + per], n + pad
 
 
 def replicate(mesh: Mesh, data: np.ndarray):

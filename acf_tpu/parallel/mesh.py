@@ -48,12 +48,24 @@ def replicated_spec() -> P:
 
 def shard_params(mesh: Mesh, params, min_rows: int = 1024):
     """Place a param pytree: 2-D tables with ≥ ``min_rows`` rows are
-    row-sharded over "model"; everything else is replicated."""
+    sharded over "model" — row-wise when the row count divides the axis
+    size, otherwise column-wise over the feature dim (Megatron-style; ``d``
+    is essentially always a power of two, so real catalogs of awkward size
+    still distribute). Everything else is replicated. jax.Array requires
+    the sharded dim to divide the axis size exactly; callers who want
+    row-sharding for an awkward catalog should pad the table
+    (``sharded_embedding.shard_table`` does) — that changes scoring shapes,
+    so the trainer prefers this shape-preserving fallback instead."""
+    m = mesh.shape["model"]
 
     def place(x):
-        if x.ndim == 2 and x.shape[0] >= min_rows and \
-                x.shape[0] % mesh.shape["model"] == 0:
-            spec = P("model", None)
+        if x.ndim == 2 and x.shape[0] >= max(min_rows, m):
+            if x.shape[0] % m == 0:
+                spec = P("model", None)
+            elif x.shape[1] % m == 0:
+                spec = P(None, "model")
+            else:
+                spec = P()
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

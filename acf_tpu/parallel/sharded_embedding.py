@@ -10,9 +10,10 @@ inside ``shard_map``:
   axis assembles the full [B, d] activation — bandwidth B·d per device
   over ICI, no host gathers.
 
-Gradients flow back as a purely local masked scatter-add (custom VJP on
-``sharded_lookup`` — see its docstring), so each device accumulates exactly
-its own rows' gradients — which also makes the APR/FGSM delta *local*:
+Gradients flow back as a local masked scatter-add (custom VJP on
+``sharded_lookup`` — see its docstring) followed by one psum over whatever
+batch axes the ids varied on, so each device accumulates exactly its own
+rows' *total* gradients — which also makes the APR/FGSM delta *local*:
 row-wise L2 normalization (evaluation_adv.py:202-203) touches only one shard
 per row, no cross-device exchange needed.
 
@@ -46,9 +47,14 @@ def sharded_lookup(table_local, ids, axis: str = "model"):
 
     Carries a custom VJP: the naive ``grad`` through ``psum`` inside
     shard_map double-counts by the model-axis size (psum's transpose is a
-    psum of the already-replicated cotangent). The true backward is a purely
-    LOCAL masked scatter-add — each device accumulates gradients only for
-    its own rows, with zero extra communication.
+    psum of the already-replicated cotangent). The true backward is a LOCAL
+    masked scatter-add, followed by one psum over whatever *batch* axes the
+    cotangent varies on beyond the table itself (normally "data") so the
+    returned cotangent carries the same varying-manual-axes type as the
+    primal — required by shard_map's vma checker (the driver environment
+    runs with bwd type checks enabled; tests/conftest.py mirrors that).
+    Callers therefore receive the fully data-reduced table gradient and
+    must NOT psum it again.
     """
     return _lookup_impl(table_local, ids, axis)
 
@@ -66,15 +72,33 @@ def _lookup_impl(table_local, ids, axis):
     return jax.lax.psum(rows, axis)
 
 
+def _vma(x):
+    """The varying-manual-axes set of ``x`` (empty outside shard_map or on
+    jax versions without vma-in-types)."""
+    try:
+        return frozenset(jax.typeof(x).vma)
+    except (AttributeError, TypeError):
+        return frozenset()
+
+
 def _lookup_fwd(table_local, ids, axis):
-    return _lookup_impl(table_local, ids, axis), (table_local.shape[0], ids)
+    # table_local[:0] is a zero-row proxy that carries the primal's vma type
+    # into the bwd rule (shape[0] stays a static Python int residual)
+    return _lookup_impl(table_local, ids, axis), (
+        table_local.shape[0], table_local[:0], ids)
 
 
 def _lookup_bwd(axis, res, ct):
-    i_local, ids = res
+    i_local, proxy, ids = res
     idx, ok = _local_window(i_local, ids, axis)
     g = jnp.zeros((i_local, ct.shape[-1]), ct.dtype)
     g = g.at[idx].add(jnp.where(ok[:, None], ct, 0.0))
+    # reduce over the batch axes the cotangent picked up that the primal
+    # table does not carry (e.g. "data" when ids are batch-sharded): the
+    # scatter output varies over them, the table-shard primal does not
+    extra = _vma(g) - _vma(proxy)
+    if extra:
+        g = jax.lax.psum(g, tuple(sorted(extra)))
     return g, None
 
 
@@ -107,10 +131,10 @@ def make_sharded_bpr_step(mesh: Mesh, eps: float = 0.0, reg_adv: float = 1.0,
             diff = jnp.clip(jnp.sum(pu * (qp - qn), -1), -80.0, 1e8)
             return jnp.sum(jnp.logaddexp(0.0, -diff))
 
-        grads = jax.grad(loss_fn)((P_shard, Q_shard))
-        # data-parallel gradient reduction (sum over the batch shards)
-        gP = jax.lax.psum(grads[0], "data")
-        gQ = jax.lax.psum(grads[1], "data")
+        # sharded_lookup's VJP already psums the table cotangents over
+        # "data" (it must, to satisfy the vma checker) — grads here are the
+        # fully-reduced data-parallel gradients, no further psum
+        gP, gQ = jax.grad(loss_fn)((P_shard, Q_shard))
 
         if eps > 0.0:
             dP = eps * row_normalize_local(gP)
@@ -125,8 +149,8 @@ def make_sharded_bpr_step(mesh: Mesh, eps: float = 0.0, reg_adv: float = 1.0,
                 return jnp.sum(jnp.logaddexp(0.0, -diff))
 
             ag = jax.grad(adv_loss_fn)((P_shard, Q_shard))
-            gP = gP + reg_adv * jax.lax.psum(ag[0], "data")
-            gQ = gQ + reg_adv * jax.lax.psum(ag[1], "data")
+            gP = gP + reg_adv * ag[0]
+            gQ = gQ + reg_adv * ag[1]
 
         return P_shard - lr * gP, Q_shard - lr * gQ
 
@@ -187,14 +211,12 @@ def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
             return pointwise_sum_loss(reprs, lookup(item_local, pos),
                                       lookup(item_local, neg), ist)
 
-        # Replicated (P()) params need NO explicit gradient reduction: the
-        # transpose of replicate-then-use-in-data-varying-compute is a psum
-        # over "data", which shard_map's varying-axes tracking inserts
-        # automatically. The item shard's gradient comes through
-        # sharded_lookup's custom VJP (a purely local scatter), which
-        # bypasses that machinery — it alone is psum'd here.
+        # NO explicit gradient reduction anywhere: replicated (P()) params
+        # get their "data" psum from the transpose of the automatic
+        # invariant→varying promotion, and the item shard's gradient comes
+        # through sharded_lookup's custom VJP, whose bwd rule performs the
+        # "data" psum itself (required to satisfy the vma checker).
         g_item, g_rest = jax.grad(clean_loss)((item_shard, rest))
-        g_item = jax.lax.psum(g_item, "data")
 
         if adversarial:
             delta_local = jax.lax.stop_gradient(
@@ -209,7 +231,7 @@ def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
                                           lookup(tgt, neg), ist)
 
             ag_item, ag_rest = jax.grad(adv_loss)((item_shard, rest))
-            g_item = g_item + reg_adv * jax.lax.psum(ag_item, "data")
+            g_item = g_item + reg_adv * ag_item
             g_rest = jax.tree.map(lambda g, ag: g + reg_adv * ag,
                                   g_rest, ag_rest)
 

@@ -8,17 +8,27 @@ computation over the 2-axis mesh exactly like sharded evaluation
 
   * request users over "data" — each device serves its own user shard;
   * item-table rows over "model" — each device scores only its catalog
-    shard, reduces to a LOCAL top-K immediately (only [B, k] candidates
-    per device ever exist), and one ``all_gather`` over the model axis
-    merges the per-shard candidate lists into the global top-K.
+    shard and reduces to a LOCAL top-K immediately (only [B, k] candidates
+    per device ever exist). The ``shard_map`` body returns those per-shard
+    candidate lists with ``out_specs=P("data", "model")`` — i.e. the m
+    shards' [Bl, k] blocks concatenate shard-major into a global
+    [B, m·k] candidate matrix — and the final merge top-K runs OUTSIDE
+    shard_map as an ordinary jit op (GSPMD inserts the gather). Keeping
+    the merge out of the manual region sidesteps the varying-manual-axes
+    replication-inference limitation: an in-region ``all_gather`` produces
+    values the checker cannot prove replicated over "model", so
+    ``out_specs=P("data", None)`` is rejected (the round-1 defect).
 
 Semantics are identical to ``ops.topk.topk_factored`` (the reference has no
 serving path at all — its closest analog is the per-user ``sess.run`` rank
 loop, SASRec.py:424-436 / evaluation_adv.py:463-470): HIGHEST-precision
 scoring, pad id 0 / catalog padding / the user's train items masked. The
-dot contraction (over ``d``) is never split, so the sharded scores are
-bit-identical to the single-device path and the returned (scores, items)
-match EXACTLY (tested on the 8-virtual-device CPU mesh).
+dot contraction (over ``d``) is never split, and shard-major candidate
+order preserves the lowest-global-id tie rule — the returned item ids
+match the single-device path EXACTLY, scores to float accumulation noise
+(the per-shard matmul tiles accumulate in a different order than the
+4096-padded single-device tile). Tested on the 8-virtual-device CPU mesh,
+tests/test_parallel.py.
 
 Everything degenerates to the plain computation at mesh size 1.
 """
@@ -30,7 +40,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from acf_tpu.ops.topk import NEG
+from acf_tpu.ops.topk import NEG, _rec_fn
 
 
 def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
@@ -51,15 +61,22 @@ def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
       * ``users [B] / hists [B, L]`` are sharded over "data" (``B``
         divisible by the data-axis size).
     """
+    m = mesh.shape["model"]
+    il = (num_items + (-num_items) % m) // m  # padded local shard width
+    kl = min(k, il)  # per-shard top-K never exceeds the shard width
+    if m * kl < k:
+        raise ValueError(
+            f"cannot serve top-{k} from {num_items} items over a "
+            f"{m}-way model axis: shards hold only {il} rows each "
+            f"({m}*{kl} candidates < k)")
 
-    def rec(params, table_shard, bias_shard, users, hists):
+    def local_candidates(params, table_shard, bias_shard, users, hists):
         # HIGHEST precision: TPU matmuls otherwise truncate f32→bf16 and
         # reorder near-tie items vs the evaluator (same rule as ops/topk.py)
         with jax.default_matmul_precision("highest"):
             reprs = user_repr_fn(params, users, hists)        # [Bl, d]
             scores = reprs @ table_shard.T                    # [Bl, Il]
         scores = scores + bias_shard[None, :]
-        bl, il = scores.shape
         offset = jax.lax.axis_index("model") * il
         gids = offset + jnp.arange(il)                        # global ids
 
@@ -70,34 +87,37 @@ def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
         invalid = invalid | (gids[None, None, :] == hists[:, :, None]).any(1)
         scores = jnp.where(invalid, NEG, scores)
 
-        s, idx = jax.lax.top_k(scores, k)                     # local top-K
-        gi = gids[idx]
+        s, idx = jax.lax.top_k(scores, kl)                    # local top-K
+        return s, gids[idx]                                   # [Bl, kl] each
 
-        # merge: gather every shard's [Bl, k] candidates and re-top-K.
-        # Shard-major concat keeps tie order = ascending global id, matching
-        # the single-device top_k's lowest-index-first tie rule.
-        s_all = jax.lax.all_gather(s, "model")                # [m, Bl, k]
-        i_all = jax.lax.all_gather(gi, "model")
-        m = s_all.shape[0]
-        s_all = jnp.moveaxis(s_all, 0, 1).reshape(bl, m * k)
-        i_all = jnp.moveaxis(i_all, 0, 1).reshape(bl, m * k)
+    inner = shard_map(
+        local_candidates, mesh=mesh,
+        in_specs=(P(), P("model", None), P("model"),
+                  P("data"), P("data", None)),
+        # concatenate the m shards' candidate blocks shard-major along the
+        # candidate axis: global [B, m*kl], ascending global id per tie rank
+        out_specs=(P("data", "model"), P("data", "model")))
+
+    @jax.jit
+    def rec(params, table_shard, bias_shard, users, hists):
+        s_all, i_all = inner(params, table_shard, bias_shard, users, hists)
+        # merge: shard-major order + per-shard lowest-local-index tie rule
+        # reproduce single-device top_k's lowest-global-id-first ties exactly
         fs, fidx = jax.lax.top_k(s_all, k)
         return fs, jnp.take_along_axis(i_all, fidx, axis=1)
 
-    return jax.jit(shard_map(
-        rec, mesh=mesh,
-        in_specs=(P(), P("model", None), P("model"),
-                  P("data"), P("data", None)),
-        out_specs=(P("data", None), P("data", None)),
-    ))
+    return rec
 
 
 def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,
                                 k: int = 10):
     """Convenience wrapper: sharded top-K for any model exposing
     ``factored_scorer()`` (MF family, SASRec, Caser, ...). Shards the item
-    table on the fly — for a long-lived serving process build the pieces
-    once via :func:`make_sharded_recommend` instead.
+    table on the fly; the built shard_map program is cached per
+    (mesh, k, num_items) on the model instance (same pattern as
+    ops/topk.py::_rec_fn) so repeated calls don't retrace — though a
+    long-lived serving process should still build the pieces once via
+    :func:`make_sharded_recommend` to avoid the per-call table re-shard.
 
     ``len(users)`` must be divisible by the data-axis size (pad requests
     with user 0 and slice the tail off, as ops/topk.py::recommend does).
@@ -117,6 +137,9 @@ def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,
     if pad:
         bias = jnp.pad(bias, (0, pad))
     bias_shard = jax.device_put(bias, NamedSharding(mesh, P("model")))
-    fn = make_sharded_recommend(mesh, user_repr_fn, model.num_items, k=k)
+    fn = _rec_fn(
+        model, ("sharded", mesh, k, model.num_items),
+        lambda: make_sharded_recommend(mesh, user_repr_fn,
+                                       model.num_items, k=k))
     users, hists = shard_batch(mesh, (users, hists))
     return fn(params, table_shard, bias_shard, users, hists)

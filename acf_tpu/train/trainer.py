@@ -55,13 +55,40 @@ class TrainConfig:
     # new best NDCG to <save_model_path>.best.npz and after every epoch to
     # <save_model_path>.last.npz. None = off.
     save_model_path: Optional[str] = None
-    # a ("data", "model") jax Mesh: evaluation of factored models runs
-    # through the sharded evaluator (parallel/sharded_eval.py) — users over
-    # "data", item-table rows over "model". None = single-device eval.
+    # a ("data", "model") jax Mesh: TRAINING runs under GSPMD over it
+    # (embedding tables row-sharded over "model" via shard_params, each
+    # step's batch sharded over "data" via an in-step sharding constraint —
+    # XLA inserts the lookup all-gathers and gradient reductions over ICI),
+    # and evaluation of factored models runs through the sharded evaluator
+    # (parallel/sharded_eval.py). None = single-device everything.
     mesh: Optional[object] = None
+    # tables with fewer rows than this stay replicated under mesh training
+    # (sharding tiny tables costs more in collectives than it saves in HBM)
+    shard_min_rows: int = 1024
 
 
-def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
+def _data_constrainer(mesh):
+    """Batch-sharding hook for GSPMD mesh training: constrain each step's
+    batch tensors to ``P("data", ...)`` so XLA parallelizes the step over
+    the data axis (and psums gradients) instead of replicating the compute.
+    Identity when ``mesh`` is None — the single-device program is unchanged.
+    """
+    if mesh is None:
+        return lambda *xs: xs if len(xs) != 1 else xs[0]
+    from jax.sharding import NamedSharding, PartitionSpec as SP
+
+    def constrain(*xs):
+        out = tuple(
+            jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, SP("data", *([None] * (x.ndim - 1)))))
+            for x in xs)
+        return out if len(out) != 1 else out[0]
+
+    return constrain
+
+
+def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
+                       mesh=None):
     """Build the jitted one-epoch function for pairwise models.
 
     ``data`` is a dict of device arrays: pairs_u [N], pairs_i [N],
@@ -71,7 +98,12 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
     Supports DNS (dynamic negative sampling, ``model.dns > 1``): sample
     ``dns`` candidates per positive and keep the one the current model
     scores highest (reference evaluation_adv.py:349-367).
+
+    With ``mesh``, the per-step (u, pos) batch is sharding-constrained over
+    the "data" axis and the program jits under GSPMD — same math, executed
+    data-parallel with tables sharded as placed (see TrainConfig.mesh).
     """
+    constrain = _data_constrainer(mesh)
     dns = getattr(model, "dns", 1)
     # closed-form fused-step gradients when the model provides them (MFBPR
     # APR path — one scatter-add per table instead of nested-autodiff's ~6).
@@ -102,8 +134,7 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
             prm, opt = c
             idx, kk = xs
             kn, kl = jax.random.split(kk)
-            u = data["pairs_u"][idx]
-            pos = data["pairs_i"][idx]
+            u, pos = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
             hist_rows = data["hist"][u]
             if dns <= 1:
                 neg = uniform_negatives(kn, hist_rows, model.num_items)
@@ -127,9 +158,13 @@ def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
     return epoch_fn
 
 
-def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
+def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
+                      mesh=None):
     """Jitted one-epoch function for sequence models (WarpSampler semantics:
-    users sampled with replacement, SASRecLayers.py:329-358)."""
+    users sampled with replacement, SASRecLayers.py:329-358). With ``mesh``,
+    each step's (users, seq, pos, neg) batch is sharding-constrained over
+    "data" and the program jits under GSPMD (see TrainConfig.mesh)."""
+    constrain = _data_constrainer(mesh)
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(carry, data, key):
@@ -139,9 +174,9 @@ def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int):
         def step(c, kk):
             prm, opt = c
             ks, kl = jax.random.split(kk)
-            users, seq, pos, neg = sample_seq_batch(
+            users, seq, pos, neg = constrain(*sample_seq_batch(
                 ks, data["hist"], data["eligible"],
-                model.maxlen, model.num_items, batch_size)
+                model.maxlen, model.num_items, batch_size))
             (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 prm, (users, seq, pos, neg), kl)
             updates, opt = optimizer.update(grads, opt, prm)
@@ -208,17 +243,32 @@ class Trainer:
             n_seq_users = int((data.hist_len >= 1).sum())
             self.num_batches = max(n_seq_users // config.batch_size, 1)
             self.epoch_fn = make_seq_epoch_fn(
-                model, optimizer, config.batch_size, self.num_batches)
+                model, optimizer, config.batch_size, self.num_batches,
+                mesh=config.mesh)
         else:
             self.num_batches = max(data.num_pairs // config.batch_size, 1)
             self.epoch_fn = make_pair_epoch_fn(
-                model, optimizer, config.batch_size, self.num_batches)
+                model, optimizer, config.batch_size, self.num_batches,
+                mesh=config.mesh)
+
+        if config.mesh is not None:
+            # mesh training: dataset arrays replicated across the mesh (they
+            # are indexed with data-sharded ids each step), tables with
+            # >= shard_min_rows rows row-sharded over "model" — optimizer
+            # slots inherit placement via zeros_like
+            from acf_tpu.parallel.input_pipeline import replicate
+            self.dev = {k: replicate(config.mesh, v)
+                        for k, v in self.dev.items()}
 
         key = jax.random.PRNGKey(config.seed)
         self.key, k_init = jax.random.split(key)
         self.params = model.init_params(k_init)
+        if config.mesh is not None:
+            from acf_tpu.parallel.mesh import shard_params
+            self.params = shard_params(config.mesh, self.params,
+                                       min_rows=config.shard_min_rows)
         if hasattr(model, "init_opt_state"):
-            self.opt_state = model.init_opt_state(optimizer, self.params)
+            self.opt_state = model.init_opt_state(self.optimizer, self.params)
         else:
             self.opt_state = optimizer.init(self.params)
 
@@ -461,10 +511,12 @@ class Trainer:
                 self.dev)
         elif model.batch_kind == "seq":
             self.epoch_fn = make_seq_epoch_fn(
-                model, self.optimizer, self.cfg.batch_size, self.num_batches)
+                model, self.optimizer, self.cfg.batch_size, self.num_batches,
+                mesh=self.cfg.mesh)
         else:
             self.epoch_fn = make_pair_epoch_fn(
-                model, self.optimizer, self.cfg.batch_size, self.num_batches)
+                model, self.optimizer, self.cfg.batch_size, self.num_batches,
+                mesh=self.cfg.mesh)
         # keep the evaluator (device uploads + corrections cache) when the
         # new model needs identical eval geometry — the common clean→adv
         # switch; independent best tracking per phase matches the

@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Run the whole suite under strict backward-pass type checking (custom-VJP
+# cotangents must carry the same varying-manual-axes as their primals).
+# This image's jax defaults the checks OFF, but the driver's multi-chip
+# gate runs with them ON — round 1 shipped a sharded_lookup VJP that was
+# green locally and red under the gate; never again.
+jax.config.update("jax_disable_bwd_checks", False)

@@ -222,3 +222,44 @@ def test_most_popular_orders_by_raw_counts():
     params = m.init_params(jax.random.PRNGKey(0))
     counts = np.asarray(params["counts"])
     assert counts[2] > counts[3]  # raw counts; unique-pair counts would tie 1:2
+
+
+def test_sort_dup_matches_reference_drop_duplicates(tmp_path):
+    """-sort-dup must keep the exact row set of the reference's
+    ``df.drop_duplicates(['uid','iid'])`` (process_data.py:27) — global
+    first occurrence per pair, including NON-consecutive repeats (the
+    round-1 implementation collapsed only consecutive ones)."""
+    from acf_tpu.data.process import (
+        collapse_consecutive_duplicates, drop_duplicate_pairs,
+        write_rating_files,
+    )
+
+    # user 1: 5,7,5,7 — repeats are non-consecutive; user 2: 6,6,8
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 2, 2, 2],
+        "iid": [5, 7, 5, 7, 6, 6, 8],
+        "timestamp": [10, 20, 30, 40, 1, 2, 3],
+    })
+    want = df.sort_values(["uid", "timestamp"]).drop_duplicates(
+        ["uid", "iid"])  # the reference's own pandas rule as oracle
+    got = drop_duplicate_pairs(df)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+    # rows (1,5,30) and (1,7,40) are dropped although non-consecutive
+    assert got["timestamp"].tolist() == [10, 20, 1, 3]
+
+    # the consecutive-only collapse is a DIFFERENT (opt-in) behavior:
+    # it keeps the far-apart repeats and drops only the immediate 6,6
+    cons = collapse_consecutive_duplicates(df)
+    assert cons["timestamp"].tolist() == [10, 20, 30, 40, 1, 3]
+
+    # end-to-end: dedup=True routes through the reference semantics
+    write_rating_files(df, str(tmp_path), "toy", reindex=False, dedup=True)
+    train = pd.read_csv(tmp_path / "toy.train.rating", sep="\t", header=None,
+                        names=["uid", "iid", "rating", "timestamp"])
+    test = pd.read_csv(tmp_path / "toy.test.rating", sep="\t", header=None,
+                       names=["uid", "iid", "rating", "timestamp"])
+    # leave-one-out applies AFTER dedup: user 1 keeps [5@10, 7@20] ->
+    # train [5], test [7]; user 2 keeps [6@1, 8@3] -> train [6], test [8]
+    assert train[["uid", "iid"]].values.tolist() == [[1, 5], [2, 6]]
+    assert test[["uid", "iid"]].values.tolist() == [[1, 7], [2, 8]]

@@ -101,3 +101,82 @@ def test_gru4rec_streaming_state_matches_scan():
                             reset_mask=jnp.asarray([True]))
     fresh, _ = m.step_state(params, m.init_state(1), jnp.asarray([3]))
     np.testing.assert_allclose(np.asarray(state), np.asarray(fresh), rtol=1e-6)
+
+
+def test_gru4rec_windowed_scan_matches_session_parallel_schedule():
+    """Recurrence-equivalence oracle (VERDICT r1 #8): replay the reference's
+    session-parallel minibatching schedule (GRU4Rec.py:240-277 — B lanes,
+    ``minlen-1`` inner steps per chunk, exhausted lanes replaced by the next
+    session with their state rows reset) in numpy, driving the SAME gru_cell,
+    and assert the windowed-scan hidden states equal the schedule's state at
+    every overlapping (session, step). Sessions have unequal lengths and
+    lanes run multiple sessions back-to-back, so both the minlen chunking
+    and the reset-on-handoff ≙ pad-freeze claim are exercised."""
+    import jax.numpy as jnp
+
+    from acf_tpu.nn.rnn import gru_cell
+
+    data = seq_data()
+    m = MODELS["gru4rec"](data)
+    params = m.init_params(jax.random.PRNGKey(7))
+
+    # five sessions, lengths 5,3,4,2,6 (item ids arbitrary nonzero)
+    sessions = [np.array(s, dtype=np.int32) for s in
+                ([3, 4, 5, 6, 7], [8, 2, 9], [5, 3, 8, 2], [7, 6],
+                 [2, 5, 7, 3, 9, 4])]
+    offsets = np.zeros(len(sessions) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in sessions])
+    flat = np.concatenate(sessions)
+
+    # --- the reference schedule, verbatim semantics -------------------
+    B = 2
+    state = jnp.zeros((B, m.dim))
+    iters = np.arange(B)
+    maxiter = iters.max()
+    start = offsets[iters].copy()
+    end = offsets[iters + 1].copy()
+    consumed = np.zeros(B, dtype=np.int64)  # inputs consumed in the lane's
+    recorded = {}                           # (session, step) -> state row
+    finished = False
+    while not finished:
+        minlen = int((end - start).min())
+        for i in range(minlen - 1):
+            in_idx = flat[start + i]                       # [B] inputs
+            new = gru_cell(params["gru"], params["emb"][jnp.asarray(in_idx)],
+                           state)
+            state = new                                    # full-batch step
+            for lane in range(B):
+                recorded[(int(iters[lane]), int(consumed[lane]))] = \
+                    np.asarray(state[lane]).copy()
+            consumed += 1
+        start = start + minlen - 1
+        mask = np.arange(B)[(end - start) <= 1]
+        for idx in mask:
+            maxiter += 1
+            if maxiter >= len(offsets) - 1:
+                finished = True
+                break
+            iters[idx] = maxiter
+            start[idx] = offsets[maxiter]
+            end[idx] = offsets[maxiter + 1]
+            consumed[idx] = 0
+        if len(mask):  # reset_after_session=True
+            state = state.at[jnp.asarray(mask)].set(0.0)
+
+    assert len({s for s, _ in recorded}) >= 4  # lanes really advanced
+
+    # --- the windowed scan over right-aligned session inputs ----------
+    T = max(len(s) for s in sessions) - 1  # inputs = session minus target
+    win = np.zeros((len(sessions), T), dtype=np.int32)
+    for j, s in enumerate(sessions):
+        win[j, T - (len(s) - 1):] = s[:-1]
+    hs = np.asarray(m._hidden_states(params, jnp.asarray(win)))
+
+    checked = 0
+    for (sess, step), want in recorded.items():
+        L = len(sessions[sess]) - 1
+        got = hs[sess, T - L + step]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"session {sess} step {step}")
+        checked += 1
+    assert checked >= 10
