@@ -39,6 +39,10 @@ def build_parser():
                    default="video")
     p.add_argument("--d", "--embed_size", dest="d", type=int, default=64)
     p.add_argument("--maxlen", type=int, default=50)
+    p.add_argument("--train_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="SASRec train-path encoder compute dtype (eval is "
+                        "always f32)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--adv_epoch", "--adv_epochs", dest="adv_epoch", type=int,
                    default=50,
@@ -191,13 +195,17 @@ def make_model(name, data, args):
         return PopularityAdversarial(U, I, d, base=base, weight=args.w,
                                      pop_percent=args.pp), adam, None
     if name == "sasrec":
-        return SASRec(U, I, d, maxlen=args.maxlen), optax.adam(0.001, b2=0.98), None
+        return SASRec(U, I, d, maxlen=args.maxlen,
+                      train_dtype=args.train_dtype), \
+            optax.adam(0.001, b2=0.98), None
     if name in ("asasrec", "asasrec2"):
-        clean = SASRec(U, I, d, maxlen=args.maxlen)
+        clean = SASRec(U, I, d, maxlen=args.maxlen,
+                       train_dtype=args.train_dtype)
         adv = SASRec(U, I, d, maxlen=args.maxlen, adversarial=True,
                      adv_mode=name, eps=args.eps, reg_adv=args.reg_adv,
                      eps_pos=args.eps_pos, eps_dense=args.eps_dense,
-                     eps_conv=args.eps_conv, adv_steps=args.adv_steps)
+                     eps_conv=args.eps_conv, adv_steps=args.adv_steps,
+                     train_dtype=args.train_dtype)
         return adv, optax.adam(0.001, b2=0.98), clean
     if name == "gru4rec":
         return GRU4Rec(U, I, d, maxlen=args.maxlen,

@@ -88,6 +88,25 @@ class SASRec(SequenceModel):
                             # "auto" == "never" — measured SLOWER than XLA at
                             # reference scale (docs/ROADMAP.md); "always" =
                             # opt-in (interpret mode off-TPU)
+    pack_attention: str = "auto"  # pack ⌊128/T⌋ users into one MXU tile as
+                            # a block-diagonal causal attention. Bitwise-
+                            # equal to the unpacked path in f32 (off-block
+                            # scores are -2³²; exp underflows to exactly 0).
+                            # MEASURED SLOWER end-to-end on v5e at T=50
+                            # (clean step 3009 vs 2790 µs, fwd 960 vs 887 —
+                            # the isolated-attention microbench win
+                            # (micro_opt_bench.py: fwd 160 vs 206 µs)
+                            # reverses once the 2× score FLOPs hit the
+                            # backward), so "auto" == "never"; "always" =
+                            # opt-in for re-measurement on future hardware.
+    train_dtype: str = "bfloat16"  # encoder compute dtype on the TRAIN path
+                            # (loss / FGSM linearization). Params, the loss
+                            # head, LayerNorm statistics and softmax stay
+                            # f32; activations and matmuls inside the encoder
+                            # run in bf16 — the T=50 step is HBM-bound on
+                            # f32 intermediates (docs/ROADMAP.md). Eval /
+                            # serving always runs f32 (ranking precision
+                            # rules unchanged). "float32" = off.
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -119,31 +138,59 @@ class SASRec(SequenceModel):
         return params
 
     # ------------------------------------------------------------------
-    def _dropout_masks(self, key, b, t):
-        """Precomputed 0/1 f32 dropout masks — exactly the bernoulli draws
-        ``encode_core`` used to make inline (same key split, same call order,
-        same shapes), hoisted so the fused-kernel path can consume them."""
+    def _compute_dtype(self):
+        """Resolved train-path compute dtype (None = plain f32 path)."""
+        if self.train_dtype in ("float32", "f32"):
+            return None
+        return jnp.dtype(self.train_dtype)
+
+    def _pack(self, b: int, t: int) -> int:
+        """Users packed per attention tile (1 = unpacked)."""
+        if self.pack_attention != "always" or self.num_heads != 1 or t < 32:
+            return 1
+        p = 128 // t
+        while p > 1 and b % p:
+            p -= 1
+        return max(p, 1)
+
+    def _dropout_masks(self, key, b, t, pack: int = 1):
+        """Precomputed 0/1 dropout masks (bool — ¼ the HBM traffic of the
+        old f32 masks; same bernoulli draws: same key split, same call order,
+        same shapes), hoisted so the fused-kernel path can consume them.
+        With ``pack>1`` the attention-prob mask is drawn directly at the
+        packed block-diagonal shape [B/P, 1, P·T, P·T] (off-block draws are
+        multiplied into exact zeros, so they are inert)."""
         h = self.num_heads
         d = self.dim
         keep = 1.0 - self.dropout_rate
         keys = jax.random.split(key, 1 + 3 * self.num_blocks)
 
         def m(kk, shape):
-            return jax.random.bernoulli(kk, keep, shape).astype(jnp.float32)
+            return jax.random.bernoulli(kk, keep, shape)
 
+        p_shape = ((b, h, t, t) if pack == 1
+                   else (b // pack, 1, pack * t, pack * t))
         return {
             "emb": m(keys[0], (b, t, d)),
             "blocks": [
-                {"p": m(keys[1 + 3 * i], (b, h, t, t)),
+                {"p": m(keys[1 + 3 * i], p_shape),
                  "f1": m(keys[2 + 3 * i], (b, t, d)),
                  "f2": m(keys[3 + 3 * i], (b, t, d))}
                 for i in range(self.num_blocks)
             ],
         }
 
-    def _attention(self, blk, q_in, ids_mask, p_mask, keep):
+    def _attention(self, blk, q_in, ids_mask, p_mask, keep, cd=jnp.float32,
+                   pack: int = 1):
         """One causal MHA with key/query masking
-        (SASRecLayers.py:171-248)."""
+        (SASRecLayers.py:171-248). ``cd`` = compute dtype: activations and
+        matmuls run in it; softmax normalizes in f32 (same exponent range,
+        the renormalizing sum wants the mantissa). ``pack>1`` stacks that
+        many users into one block-diagonal attention tile (profiled: the
+        T=50 step's batched [50,50] score matmuls ran at ~5% MXU
+        efficiency; packing raises tile occupancy at identical results —
+        off-block logits are -2³² so their softmax weight underflows to
+        exactly 0 and contributes exact zeros to the value sum)."""
         b, t, d = q_in.shape
         h = self.num_heads
         dh = d // h
@@ -153,68 +200,107 @@ class SASRec(SequenceModel):
         # of six in the backward — the SASRec step is kernel-count-bound at
         # these shapes (docs/ROADMAP.md step decomposition).
         w = jnp.concatenate(
-            [blk["wq"]["w"], blk["wk"]["w"], blk["wv"]["w"]], axis=1)
+            [blk["wq"]["w"], blk["wk"]["w"], blk["wv"]["w"]],
+            axis=1).astype(cd)
         bias = jnp.concatenate(
-            [blk["wq"]["b"], blk["wk"]["b"], blk["wv"]["b"]])
+            [blk["wq"]["b"], blk["wk"]["b"], blk["wv"]["b"]]).astype(cd)
         qkv = q_in @ w + bias
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        if pack > 1:  # single-head packed form
+            g, pt = b // pack, pack * t
+            q, k, v = (qkv[..., j * d:(j + 1) * d].reshape(g, pt, d)
+                       for j in range(3))
+            scores = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(d)
+            bd = jnp.kron(jnp.eye(pack, dtype=jnp.int32),
+                          causal.astype(jnp.int32)).astype(bool)
+            key_mask = ids_mask.reshape(g, 1, pt)
+            scores = jnp.where(bd[None] & key_mask, scores, _NEG_INF)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(cd)
+            probs = probs * ids_mask.reshape(g, pt, 1)  # query masking
+            probs = _apply_mask(
+                probs, None if p_mask is None else p_mask[:, 0], keep)
+            out = jnp.einsum("bqk,bkd->bqd", probs, v).reshape(b, t, d)
+            return out + q_in
         q, k, v = (qkv[..., j * d:(j + 1) * d]
                    .reshape(b, t, h, dh).transpose(0, 2, 1, 3)
                    for j in range(3))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
-        causal = jnp.tril(jnp.ones((t, t), bool))
         key_mask = ids_mask[:, None, None, :]  # [B,1,1,T]
         scores = jnp.where(causal[None, None] & key_mask, scores, _NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cd)
         probs = probs * ids_mask[:, None, :, None]  # query masking
         probs = _apply_mask(probs, p_mask, keep)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return out + q_in  # residual onto the normalized input
 
-    def encode(self, params, seq, train: bool = False, key=None):
+    def encode(self, params, seq, train: bool = False, key=None, dtype=None):
         """[B, T] item ids → [B, T, d] sequence representations."""
         x = params["item_emb"][seq] * math.sqrt(self.dim)  # √d scale (SASRecLayers.py:129-130)
-        return self.encode_core(params, x, seq != 0, train=train, key=key)
+        return self.encode_core(params, x, seq != 0, train=train, key=key,
+                                dtype=dtype)
 
-    def encode_core(self, params, x, ids_mask, train: bool = False, key=None):
+    def encode_core(self, params, x, ids_mask, train: bool = False, key=None,
+                    dtype=None):
         """Encoder from pre-assembled (√d-scaled) input embeddings — the
         entry point for the explicit sharded path, where the item table is
         row-sharded and lookups happen outside (parallel/sharded_embedding).
-        Only touches ``pos_emb``/``blocks``/``ln_f`` in ``params``."""
+        Only touches ``pos_emb``/``blocks``/``ln_f`` in ``params``.
+        ``dtype`` = internal compute dtype (None → f32); the output is
+        always f32. The fused Pallas kernel is f32-only and ignores it."""
         if key is None:
             key = jax.random.PRNGKey(0)
         b, t = x.shape[0], x.shape[1]
         use_dropout = train and self.dropout_rate > 0.0
-        masks = self._dropout_masks(key, b, t) if use_dropout else None
         if self._use_fused(t):
+            masks = self._dropout_masks(key, b, t) if use_dropout else None
             from acf_tpu.ops.sasrec_fused import fused_encoder
             return fused_encoder(self, params, x, ids_mask, masks)
-        return self.encode_math(params, x, ids_mask, masks)
+        pack = self._pack(b, t)
+        masks = self._dropout_masks(key, b, t, pack) if use_dropout else None
+        return self.encode_math(params, x, ids_mask, masks, dtype=dtype,
+                                pack=pack)
 
-    def encode_math(self, params, x, ids_mask, masks):
+    def encode_math(self, params, x, ids_mask, masks, dtype=None,
+                    pack: int = 1):
         """Pure-jnp encoder math given precomputed dropout masks (None =
-        inference). The fused Pallas kernel (ops/sasrec_fused.py) computes
-        exactly this function."""
+        inference; with pack>1 the attention masks must be drawn at the
+        packed shape — `_dropout_masks(key, b, t, pack)`). The fused Pallas
+        kernel (ops/sasrec_fused.py) computes exactly this function (at
+        dtype=None, pack=1). With ``dtype=bf16`` the activations, matmuls
+        and residuals run in bf16 while LayerNorm moments, softmax and the
+        final LN run in f32; at dtype=None every cast below is a no-op and
+        the path is bit-identical to the pre-mixed-precision code."""
         t = x.shape[1]
         keep = 1.0 - self.dropout_rate
-        maskf = ids_mask[:, :, None].astype(jnp.float32)
-        x = x + params["pos_emb"][None, -t:, :]
+        cd = jnp.float32 if dtype is None else dtype
+
+        def ln(p, v):  # moments in f32, activation back to compute dtype
+            return layer_norm(p, v.astype(jnp.float32)).astype(cd)
+
+        def dn(p, v):
+            return v @ p["w"].astype(cd) + p["b"].astype(cd)
+
+        maskf = ids_mask[:, :, None].astype(cd)
+        x = (x + params["pos_emb"][None, -t:, :]).astype(cd)
         x = _apply_mask(x, None if masks is None else masks["emb"], keep)
         x = x * maskf
         for i, blk in enumerate(params["blocks"]):
             bm = None if masks is None else masks["blocks"][i]
-            q_in = layer_norm(blk["ln1"], x)
+            q_in = ln(blk["ln1"], x)
             x = self._attention(blk, q_in, ids_mask,
-                                None if bm is None else bm["p"], keep)
-            x2 = layer_norm(blk["ln2"], x)
-            f = jax.nn.relu(dense(blk["conv1"], x2))
+                                None if bm is None else bm["p"], keep, cd,
+                                pack)
+            x2 = ln(blk["ln2"], x)
+            f = jax.nn.relu(dn(blk["conv1"], x2))
             f = _apply_mask(f, None if bm is None else bm["f1"], keep)
-            f = dense(blk["conv2"], f)
+            f = dn(blk["conv2"], f)
             f = _apply_mask(f, None if bm is None else bm["f2"], keep)
             f = f + x2  # residual (SASRecLayers.py:314)
-            x = layer_norm(blk["ln3"], f)
+            x = ln(blk["ln3"], f)
             x = x * maskf
-        x = layer_norm(params["ln_f"], x)
+        x = layer_norm(params["ln_f"], x.astype(jnp.float32))  # f32 out
         return x
 
     def _use_fused(self, t: int) -> bool:
@@ -270,7 +356,8 @@ class SASRec(SequenceModel):
         seq_e, pos_e, neg_e = self._embed_rows(params["item_emb"],
                                                seq, pos, neg)
         reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
-                                 seq != 0, train=False)
+                                 seq != 0, train=False,
+                                 dtype=self._compute_dtype())
         loss, _ = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
         return loss
 
@@ -336,7 +423,8 @@ class SASRec(SequenceModel):
         seq_e, pos_e, neg_e = self._embed_rows(params["item_emb"],
                                                seq, pos, neg)
         reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
-                                 seq != 0, train=True, key=k_enc)
+                                 seq != 0, train=True, key=k_enc,
+                                 dtype=self._compute_dtype())
         loss, auc = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
         if self.l2_emb:
             loss = loss + self.l2_emb * jnp.sum(jnp.square(params["item_emb"]))
@@ -377,7 +465,7 @@ class SASRec(SequenceModel):
                         emb_plus, seq, pos, neg)
                     adv_reprs = self.encode_core(
                         adv_params, aseq_e * math.sqrt(self.dim), seq != 0,
-                        train=True, key=k_adv)
+                        train=True, key=k_adv, dtype=self._compute_dtype())
                 else:
                     adv_reprs = reprs  # clean encoder (SASRec.py:356-363)
                     t = seq.shape[1]  # perturbed table read only at pos/neg

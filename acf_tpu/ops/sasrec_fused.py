@@ -313,6 +313,8 @@ def fused_encoder(model, params, x, ids_mask, masks):
     has_dropout = masks is not None
     dmasks = None
     if has_dropout:
+        # the model hands bool masks (HBM-lean); the kernel computes in f32
+        masks = jax.tree.map(lambda m: m.astype(jnp.float32), masks)
         # flatten to the kernel layout: [B*T, d] row tiles, [B, T*T] probs
         dmasks = {"emb": masks["emb"].reshape(b * t, d),
                   "blocks": [{"p": bm["p"][:, 0],  # [B, T, T]

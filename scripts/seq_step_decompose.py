@@ -37,7 +37,8 @@ import optax  # noqa: E402
 from acf_tpu.models.sasrec import SASRec  # noqa: E402
 from acf_tpu.sampling.negatives import sample_seq_batch  # noqa: E402
 
-U, I, D, BS = 31_013, 23_745, 64, 512
+U, I, D = 31_013, 23_745, 64
+BS = int(os.environ.get("DECOMPOSE_BS", "512"))
 MAXLEN = int(os.environ.get("DECOMPOSE_MAXLEN", "8"))  # 8=Video, 50=ml-1m
 STEPS = int(os.environ.get("DECOMPOSE_STEPS", "1000"))
 HIST_L = max(64, MAXLEN)  # right-aligned window uses the tail
@@ -130,6 +131,10 @@ def main():
     clean_xla = SASRec(U, I, D, maxlen=MAXLEN)
     adv_xla = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
                      reg_adv=1.0)
+    # f32 train-path A/B partners (the production default is bf16)
+    clean_f32 = SASRec(U, I, D, maxlen=MAXLEN, train_dtype="float32")
+    adv_f32 = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
+                     reg_adv=1.0, train_dtype="float32")
 
     adv_table = TableASASRec(U, I, D, maxlen=MAXLEN, adversarial=True,
                              eps=0.5, reg_adv=1.0)
@@ -143,6 +148,11 @@ def main():
          adam),
         ("sasrec-fwd", make_epoch(clean, adam, "fwd"), clean, adam),
         ("sasrec-fwd-xla", make_epoch(clean_xla, adam, "fwd"), clean_xla,
+         adam),
+        ("sasrec-xla-f32", make_epoch(clean_f32, adam, "train"), clean_f32,
+         adam),
+        ("asasrec-xla-f32", make_epoch(adv_f32, adam, "train"), adv_f32),
+        ("sasrec-fwd-xla-f32", make_epoch(clean_f32, adam, "fwd"), clean_f32,
          adam),
         # overhead decomposition of the XLA step
         ("sasrec-xla-grad", make_epoch(clean_xla, adam, "grad"), clean_xla,

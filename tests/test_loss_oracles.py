@@ -47,7 +47,8 @@ def test_gru_cell_tf_semantics():
 
 def test_sasrec_loss_formula():
     data = seq_data()
-    m = SASRec(data.num_users, data.num_items, 8, maxlen=6, dropout_rate=0.0)
+    m = SASRec(data.num_users, data.num_items, 8, maxlen=6, dropout_rate=0.0,
+               train_dtype="float32")  # numpy oracle is exact f32
     params = m.init_params(jax.random.PRNGKey(0))
     seq = jnp.asarray([[0, 0, 1, 2, 3, 4], [0, 0, 0, 0, 5, 6]])
     pos = jnp.asarray([[0, 1, 2, 3, 4, 5], [0, 0, 0, 5, 6, 7]])

@@ -98,7 +98,7 @@ def _sasrec_fixture(adversarial, I=64, U=32, d=8, B=16, T=6, seed=3):
 
     rng = np.random.default_rng(seed)
     model = SASRec(U, I, d, maxlen=T, num_blocks=1, adversarial=adversarial,
-                   eps=0.5, reg_adv=1.0)
+                   eps=0.5, reg_adv=1.0, train_dtype="float32")
     params = model.init_params(jax.random.PRNGKey(seed))
     rest = {k: v for k, v in params.items() if k != "item_emb"}
     seq = jnp.asarray(rng.integers(1, I, (B, T), dtype=np.int32))
@@ -307,7 +307,8 @@ def test_trainer_mesh_training_seq_adversarial(mesh):
     data = synthetic_data(seed=42)
     mk = lambda cfg: Trainer(
         SASRec(data.num_users, data.num_items, 8, maxlen=6, num_blocks=1,
-               adversarial=True, eps=0.5, reg_adv=1.0, dropout_rate=0.0),
+               adversarial=True, eps=0.5, reg_adv=1.0, dropout_rate=0.0,
+               train_dtype="float32"),  # tolerance below calibrated for f32
         data, optax.adam(1e-3), cfg)
     a = mk(TrainConfig(batch_size=16, verbose=10**9))
     b = mk(TrainConfig(batch_size=16, verbose=10**9, mesh=mesh,

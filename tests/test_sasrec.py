@@ -152,7 +152,8 @@ def test_row_space_adv_path_matches_table_path():
     def table_path(prm, batch, key):
         users, sq, ps, ng = batch
         k_enc, _ = jax.random.split(key)
-        reprs = m.encode(prm, sq, train=True, key=k_enc)
+        reprs = m.encode(prm, sq, train=True, key=k_enc,
+                         dtype=m._compute_dtype())
         loss, _ = m._pointwise_loss(reprs, prm["item_emb"], ps, ng)
         delta = m._delta_tree(prm, sq, ps, ng)
         emb_plus = prm["item_emb"] + delta["item_emb"]
@@ -168,3 +169,78 @@ def test_row_space_adv_path_matches_table_path():
     flat_t, _ = jax.tree.flatten(g_tab)
     for a, b in zip(flat_h, flat_t):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+
+
+def test_packed_attention_matches_unpacked():
+    """pack_attention packs ⌊128/T⌋ users into one block-diagonal MXU tile.
+    In f32 the result is bitwise-equal to the unpacked path (off-block
+    logits are -2³²: exp underflows to exactly 0), so encode AND loss grads
+    must match the unpacked model to float tolerance; dropout draws differ
+    by design (packed mask shape), so compare with dropout off."""
+    U, I, d, t = 30, 40, 16, 32  # t>=32 engages packing (pack=4)
+    mp = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
+                pack_attention="always")
+    mu = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
+                pack_attention="never")
+    assert mp._pack(8, t) == 4 and mu._pack(8, t) == 1
+    # non-divisible batch sizes fall back gracefully
+    assert mp._pack(7, t) == 1  # 7 divides by neither 4, 3 nor 2
+    assert mp._pack(6, t) == 3  # largest p <= 128//t with b % p == 0
+    params = mp.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    seq = jnp.asarray(rng.integers(0, I, (8, t)), jnp.int32)
+    seq = seq.at[0, :20].set(0)  # padded prefix exercises the key mask
+    rp = mp.encode(params, seq)
+    ru = mu.encode(params, seq)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(ru),
+                               rtol=1e-6, atol=1e-6)
+    pos = jnp.asarray(rng.integers(1, I, (8, t)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, I, (8, t)), jnp.int32)
+    batch = (jnp.arange(1, 9, dtype=jnp.int32), seq, pos, neg)
+    key = jax.random.PRNGKey(1)
+    (lp, _), gp = jax.value_and_grad(mp.loss, has_aux=True)(params, batch, key)
+    (lu, _), gu = jax.value_and_grad(mu.loss, has_aux=True)(params, batch, key)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # with dropout the packed path still trains (finite loss/grads)
+    mpd = SASRec(U, I, d, maxlen=t, dropout_rate=0.5, adversarial=True,
+                 eps=0.5, pack_attention="always")
+    (ld, _), gd = jax.value_and_grad(mpd.loss, has_aux=True)(
+        params, batch, key)
+    assert np.isfinite(float(ld))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(gd))
+
+
+def test_bf16_train_path_close_to_f32_and_eval_unaffected():
+    """train_dtype="bfloat16" (the default) runs the TRAIN-path encoder in
+    bf16: the loss must stay close to the f32 path and its grads finite,
+    while the EVAL path (encode/score_all — ranking precision rules) is
+    bit-identical regardless of train_dtype."""
+    data = seq_data()
+    m16 = make_model(data, adversarial=True, eps=0.5)  # default bf16
+    mf = make_model(data, adversarial=True, eps=0.5, train_dtype="float32")
+    assert m16._compute_dtype() == jnp.bfloat16
+    assert mf._compute_dtype() is None
+    params = m16.init_params(jax.random.PRNGKey(0))
+    seq = jnp.asarray([[0, 0, 0, 0, 1, 2, 3, 4], [0, 0, 0, 0, 2, 2, 5, 4]])
+    pos = jnp.asarray([[0, 0, 0, 1, 2, 3, 4, 5], [0, 0, 0, 2, 2, 5, 4, 1]])
+    neg = jnp.asarray([[0, 0, 0, 9, 9, 9, 9, 2], [0, 0, 0, 7, 9, 2, 8, 9]])
+    batch = (jnp.asarray([1, 2]), seq, pos, neg)
+    key = jax.random.PRNGKey(1)
+    (l16, _), g16 = jax.value_and_grad(m16.loss, has_aux=True)(
+        params, batch, key)
+    (lf, _), _ = jax.value_and_grad(mf.loss, has_aux=True)(
+        params, batch, key)
+    # reprs f32 out of the final LN; bf16 rounding inside the 1-block-deep
+    # encoder stays within ~1% of the f32 loss
+    np.testing.assert_allclose(float(l16), float(lf), rtol=2e-2)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(g16))
+    # grads land in the params' dtype (f32), not bf16
+    assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(g16))
+    # eval path ignores train_dtype entirely
+    hists = jnp.asarray(data.hist[np.array([1, 2])])
+    users = jnp.asarray([1, 2])
+    s16 = m16.score_all(params, users, hists)
+    sf = mf.score_all(params, users, hists)
+    np.testing.assert_array_equal(np.asarray(s16), np.asarray(sf))

@@ -11,8 +11,8 @@ B, T, D, I = 9, 8, 32, 50  # B=9 exercises chunk padding (9 -> 128)
 
 
 def _fixture():
-    m_ref = SASRec(20, I, D, maxlen=T, fused="never")
-    m_fus = SASRec(20, I, D, maxlen=T, fused="always")
+    m_ref = SASRec(20, I, D, maxlen=T, fused="never", train_dtype="float32")
+    m_fus = SASRec(20, I, D, maxlen=T, fused="always", train_dtype="float32")
     params = m_ref.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     seq = jnp.asarray(rng.integers(0, I, (B, T)), jnp.int32)
@@ -57,7 +57,8 @@ def test_fused_loss_grads_match_jnp():
 
 def test_fused_adversarial_loss_matches_jnp():
     m_ref, m_fus, params, batch = _fixture()
-    kwargs = dict(maxlen=T, adversarial=True, eps=0.5, reg_adv=1.0)
+    kwargs = dict(maxlen=T, adversarial=True, eps=0.5, reg_adv=1.0,
+                  train_dtype="float32")  # the Pallas kernel is f32-only
     a_ref = SASRec(20, I, D, fused="never", **kwargs)
     a_fus = SASRec(20, I, D, fused="always", **kwargs)
     key = jax.random.PRNGKey(3)
@@ -84,8 +85,12 @@ def test_fused_chunk_scaling_longer_windows():
         assert _chunks(t) == (c, cb) and c % cb == 0
 
     for t in (16, 50):
-        m_ref = SASRec(20, I, D, maxlen=t, fused="never")
-        m_fus = SASRec(20, I, D, maxlen=t, fused="always")
+        # pack_attention="never": the kernel is unpacked, and under dropout
+        # the packed path draws its attention mask at the packed shape
+        m_ref = SASRec(20, I, D, maxlen=t, fused="never",
+                       train_dtype="float32", pack_attention="never")
+        m_fus = SASRec(20, I, D, maxlen=t, fused="always",
+                       train_dtype="float32", pack_attention="never")
         params = m_ref.init_params(jax.random.PRNGKey(0))
         rng = np.random.default_rng(t)
         seq = jnp.asarray(rng.integers(0, I, (5, t)), jnp.int32)
