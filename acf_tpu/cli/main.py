@@ -39,10 +39,12 @@ def build_parser():
                    default="video")
     p.add_argument("--d", "--embed_size", dest="d", type=int, default=64)
     p.add_argument("--maxlen", type=int, default=50)
-    p.add_argument("--train_dtype", default="bfloat16",
+    p.add_argument("--train_dtype", default="float32",
                    choices=["bfloat16", "float32"],
                    help="SASRec train-path encoder compute dtype (eval is "
-                        "always f32)")
+                        "always f32). bf16 is +9%% on the clean T=50 step "
+                        "and quality-neutral for clean SASRec, but costs "
+                        "ASASRec quality (docs/ROADMAP.md)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--adv_epoch", "--adv_epochs", dest="adv_epoch", type=int,
                    default=50,

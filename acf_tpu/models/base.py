@@ -100,3 +100,15 @@ class SequenceModel(PairwiseModel):
 
     maxlen: int = 50
     batch_kind = "seq"
+
+    def loss_window(self, params, batch, key):
+        """``loss`` from the packed sampler form ``(users, window [B, T+1],
+        neg [B, T])`` where ``seq = window[:, :-1]`` and
+        ``pos = window[:, 1:]`` (sampling/negatives.py
+        ``sample_seq_window_batch``). Default: expand and delegate.
+        Models may override to exploit the seq/pos row overlap (SASRec
+        does: one 2T+1-row table gather → one 2T+1-row backward scatter
+        instead of 3T)."""
+        users, window, neg = batch
+        return self.loss(params, (users, window[:, :-1], window[:, 1:], neg),
+                         key)

@@ -99,14 +99,19 @@ class SASRec(SequenceModel):
                             # reverses once the 2× score FLOPs hit the
                             # backward), so "auto" == "never"; "always" =
                             # opt-in for re-measurement on future hardware.
-    train_dtype: str = "bfloat16"  # encoder compute dtype on the TRAIN path
-                            # (loss / FGSM linearization). Params, the loss
-                            # head, LayerNorm statistics and softmax stay
-                            # f32; activations and matmuls inside the encoder
-                            # run in bf16 — the T=50 step is HBM-bound on
-                            # f32 intermediates (docs/ROADMAP.md). Eval /
-                            # serving always runs f32 (ranking precision
-                            # rules unchanged). "float32" = off.
+    train_dtype: str = "float32"  # encoder compute dtype on the TRAIN path
+                            # (loss / FGSM linearization). "bfloat16" runs
+                            # encoder activations/matmuls in bf16 with f32
+                            # LayerNorm moments/softmax/loss head — measured
+                            # +9% on the clean T=50 step (docs/ROADMAP.md)
+                            # and quality-neutral for CLEAN SASRec on Video
+                            # (HR@10 0.0846 bf16 vs 0.0851 f32), but it
+                            # degrades ASASRec (FGSM direction through a
+                            # bf16 encoder): 0.0986 vs the f32 0.1007 and
+                            # reference 0.0993 — so f32 stays the default
+                            # and bf16 is the measured opt-in
+                            # (--train_dtype bfloat16). Eval/serving always
+                            # run f32 (ranking precision rules unchanged).
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -256,7 +261,8 @@ class SASRec(SequenceModel):
         if self._use_fused(t):
             masks = self._dropout_masks(key, b, t) if use_dropout else None
             from acf_tpu.ops.sasrec_fused import fused_encoder
-            return fused_encoder(self, params, x, ids_mask, masks)
+            return fused_encoder(self, params, x, ids_mask, masks,
+                                 dtype=dtype)
         pack = self._pack(b, t)
         masks = self._dropout_masks(key, b, t, pack) if use_dropout else None
         return self.encode_math(params, x, ids_mask, masks, dtype=dtype,
@@ -416,6 +422,67 @@ class SASRec(SequenceModel):
                     d + (e / self.adv_steps) * _tf_l2_normalize(gl), e),
                 delta, g, eps)
         return delta
+
+    def _window_rows(self, item_emb, window, neg):
+        """One [B, 2T+1] gather for the packed sampler form: the seq and pos
+        row sets share the window rows, so the backward scatter-add carries
+        2T+1 update rows per example instead of 3T — profiled as the top
+        non-matmul cost of the T=50 step (scripts/profile_seq_step.py)."""
+        t = neg.shape[1]
+        rows = item_emb[jnp.concatenate([window, neg], axis=1)]
+        return rows[:, :t], rows[:, 1:t + 1], rows[:, t + 1:]
+
+    def _clean_loss_fn_window(self, params, window, neg):
+        """`_clean_loss_fn` in packed-window form (same value; the dense
+        item-table grad aggregates identical per-occurrence cotangents)."""
+        seq, pos = window[:, :-1], window[:, 1:]
+        seq_e, pos_e, neg_e = self._window_rows(params["item_emb"],
+                                                window, neg)
+        reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
+                                 seq != 0, train=False,
+                                 dtype=self._compute_dtype())
+        loss, _ = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
+        return loss
+
+    def loss_window(self, params, batch, key):
+        """Packed-window training loss (see SequenceModel.loss_window):
+        mathematically identical to ``loss`` on the expanded batch — the
+        shared-row gather only reassociates the backward's scatter sums.
+        The asasrec2 / PGD paths perturb whole weight tensors, so they gain
+        nothing from row packing and delegate to the generic expansion."""
+        if self.adversarial and (self.adv_mode == "asasrec2"
+                                 or self.adv_steps != 1):
+            return super().loss_window(params, batch, key)
+        users, window, neg = batch
+        seq, pos = window[:, :-1], window[:, 1:]
+        k_enc, _ = jax.random.split(key)
+        seq_e, pos_e, neg_e = self._window_rows(params["item_emb"],
+                                                window, neg)
+        reprs = self.encode_core(params, seq_e * math.sqrt(self.dim),
+                                 seq != 0, train=True, key=k_enc,
+                                 dtype=self._compute_dtype())
+        loss, auc = self._pointwise_loss_rows(reprs, pos_e, neg_e, pos)
+        if self.l2_emb:
+            loss = loss + self.l2_emb * jnp.sum(jnp.square(params["item_emb"]))
+        aux = {"loss": loss, "acc": auc}
+        if self.adversarial:
+            # reference asasrec FGSM hot path (see loss()), with the inner
+            # clean-loss backward also in packed-window form
+            prm_c = jax.lax.stop_gradient(params)
+            g_emb = jax.grad(
+                lambda emb: self._clean_loss_fn_window(
+                    {**prm_c, "item_emb": emb}, window, neg)
+            )(prm_c["item_emb"])
+            t = seq.shape[1]
+            g_rows = g_emb[jnp.concatenate([pos, neg], axis=1)]
+            pos_adv = pos_e + self.eps * row_normalize(g_rows[:, :t])
+            neg_adv = neg_e + self.eps * row_normalize(g_rows[:, t:])
+            adv_loss, adv_auc = self._pointwise_loss_rows(
+                reprs, pos_adv, neg_adv, pos)
+            loss = loss + self.reg_adv * adv_loss
+            aux["loss_adv"] = adv_loss
+            aux["acc_adv"] = adv_auc
+        return loss, aux
 
     def loss(self, params, batch, key):
         users, seq, pos, neg = batch

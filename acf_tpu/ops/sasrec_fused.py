@@ -71,23 +71,36 @@ def _layer_norm(g, b, x, eps=1e-8):
     return g * (x - mean) * jax.lax.rsqrt(var + eps) + b
 
 
-def _dense(w, b, x):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+def _dot(a, b, cd):
+    """MXU dot in compute dtype ``cd`` with f32 accumulation — cd=f32 keeps
+    the kernel's original exact-f32 semantics; cd=bf16 runs the MXU at full
+    rate (the XLA path truncates to bf16 at default precision anyway)."""
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=jnp.float32)
+
+
+def _dense(w, b, x, cd=jnp.float32):
+    return _dot(x, w, cd) + b
 
 
 # attention form switch: below this T the unrolled 3D VPU form wins (MXU
 # matmuls would be [T,d]@[d,T] slivers, one per user); at/above it the
-# per-user MXU form wins AND is the only one that fits VMEM — the unrolled
-# form keeps ~T live [C,T,d] buffers (measured 27.9 MB at C=16/T=50).
+# whole-chunk [N,N] block-diagonal MXU form is used — ONE [N,d]@[d,N]
+# score matmul per chunk instead of C [T,d]@[d,T] slivers (the sliver loop
+# was the measured reason the round-1 kernel lost to XLA at T=50).
 _MXU_ATTN_T = 32
 
 
-def _attention_math(ws_blk, q_in, maskq, p_mask, keep, c, t):
-    """q_in [N=C*T, d]; maskq [C, T]; p_mask [C, T*T] or None."""
+def _attention_math(ws_blk, q_in, maskq, maskq_nd, p_mask, keep, c, t,
+                    cd=jnp.float32):
+    """q_in [N=C*T, d]; maskq [C, T]; maskq_nd [N, d] (the pre-broadcast
+    ids mask — its first column doubles as the flat [N,1] mask vector);
+    p_mask [C, T*T] or None."""
     d = q_in.shape[-1]
-    q = _dense(ws_blk["wq"]["w"], ws_blk["wq"]["b"], q_in).reshape(c, t, d)
-    k = _dense(ws_blk["wk"]["w"], ws_blk["wk"]["b"], q_in).reshape(c, t, d)
-    v = _dense(ws_blk["wv"]["w"], ws_blk["wv"]["b"], q_in).reshape(c, t, d)
+    n = c * t
+    q = _dense(ws_blk["wq"]["w"], ws_blk["wq"]["b"], q_in, cd)
+    k = _dense(ws_blk["wk"]["w"], ws_blk["wk"]["b"], q_in, cd)
+    v = _dense(ws_blk["wv"]["w"], ws_blk["wv"]["b"], q_in, cd)
     scale = 1.0 / math.sqrt(d)
     # tril via iota compare (Mosaic cannot lower int->bool truncation)
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -95,18 +108,33 @@ def _attention_math(ws_blk, q_in, maskq, p_mask, keep, c, t):
     causal = rows >= cols
 
     if t >= _MXU_ATTN_T:
-        # per-user [T,d]@[d,T] MXU matmuls (static loop over the chunk)
+        # whole-chunk block-diagonal attention: one [N,N] score matmul;
+        # off-block entries are masked to -2³² so their softmax weight
+        # underflows to exactly 0 (same argument as SASRec.pack_attention).
+        # Mask vectors come from maskq_nd [N,1] (a column slice of the
+        # pre-broadcast [N,d] mask — Mosaic cannot shape-cast [C,T]→[N,1])
+        # and its 2D transpose for the key side.
+        rn = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cn = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        same = (rn // t) == (cn // t)
+        caus = (rn % t) >= (cn % t)
+        s = _dot(q, k.T, cd) * scale
+        mq_col = maskq_nd[:, 0:1]                    # [N,1] query-side
+        keym = jnp.transpose(mq_col) > 0             # [1,N] key-side
+        s = jnp.where(same & caus & keym, s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1) * mq_col
+        if p_mask is None:
+            return _dot(p, v, cd) + q_in  # off-block p rows are exact zeros
+        # dropout applies per-user [T,T] masks: slice the diagonal blocks
+        # (static slices), mask, and PV per user
         outs = []
         for i in range(c):
-            s = jnp.dot(q[i], k[i].T,
-                        preferred_element_type=jnp.float32) * scale
-            s = jnp.where(causal & (maskq[i][None, :] > 0), s, _NEG_INF)
-            p = jax.nn.softmax(s, axis=-1) * maskq[i][:, None]
-            if p_mask is not None:
-                p = jnp.where(p_mask[i].reshape(t, t) > 0, p / keep, 0.0)
-            outs.append(jnp.dot(p, v[i], preferred_element_type=jnp.float32))
-        return jnp.concatenate(outs, axis=0) + q_in  # [C*T, d] + residual
+            pi = p[i * t:(i + 1) * t, i * t:(i + 1) * t]
+            pi = jnp.where(p_mask[i].reshape(t, t) > 0, pi / keep, 0.0)
+            outs.append(_dot(pi, v[i * t:(i + 1) * t, :], cd))
+        return jnp.concatenate(outs, axis=0) + q_in
 
+    q, k, v = (a.reshape(c, t, d) for a in (q, k, v))
     # scores[:, :, s] = <q, k_s> — static loop keeps everything 3D (VPU)
     scores = jnp.concatenate(
         [jnp.sum(q * k[:, s:s + 1, :], axis=-1, keepdims=True) * scale
@@ -121,7 +149,8 @@ def _attention_math(ws_blk, q_in, maskq, p_mask, keep, c, t):
     return out.reshape(c * t, d) + q_in    # residual onto normalized input
 
 
-def _encoder_math(ws, x, maskf_nd, maskq, dmasks, *, keep, c, t):
+def _encoder_math(ws, x, maskf_nd, maskq, dmasks, *, keep, c, t,
+                  cd=jnp.float32):
     """2D-first encoder: every elementwise/LN/matmul op runs on [N=C*T, d]
     (full-height sublane tiles); 3D [C,T,*] only inside attention. Inputs:
     x [C,T,d]; maskf_nd [N,d] (ids mask pre-broadcast over d); maskq [C,T];
@@ -138,12 +167,12 @@ def _encoder_math(ws, x, maskf_nd, maskq, dmasks, *, keep, c, t):
     for i, blk in enumerate(ws["blocks"]):
         bm = None if dmasks is None else dmasks["blocks"][i]
         q_in = _layer_norm(blk["ln1"]["gamma"], blk["ln1"]["beta"], x)
-        x = _attention_math(blk, q_in, maskq,
-                            None if bm is None else bm["p"], keep, c, t)
+        x = _attention_math(blk, q_in, maskq, maskf_nd,
+                            None if bm is None else bm["p"], keep, c, t, cd)
         x2 = _layer_norm(blk["ln2"]["gamma"], blk["ln2"]["beta"], x)
-        f = jax.nn.relu(_dense(blk["conv1"]["w"], blk["conv1"]["b"], x2))
+        f = jax.nn.relu(_dense(blk["conv1"]["w"], blk["conv1"]["b"], x2, cd))
         f = drop(f, None if bm is None else bm["f1"])
-        f = _dense(blk["conv2"]["w"], blk["conv2"]["b"], f)
+        f = _dense(blk["conv2"]["w"], blk["conv2"]["b"], f, cd)
         f = drop(f, None if bm is None else bm["f2"])
         f = f + x2
         x = _layer_norm(blk["ln3"]["gamma"], blk["ln3"]["beta"], f)
@@ -170,13 +199,15 @@ def _chunk_spec(shape):
 
 @lru_cache(maxsize=None)
 def _make_fused(num_blocks: int, t: int, d: int, keep: float,
-                has_dropout: bool, ws_treedef, dm_treedef, interpret: bool):
+                has_dropout: bool, ws_treedef, dm_treedef, interpret: bool,
+                cd_name: str = "float32"):
     """Build the custom-VJP fused encoder for one static configuration.
 
     I/O layout: x [B,T,d] / dx [B,T,d]; everything else row-flattened so the
     kernel works on full-height [C*T, d] sublane tiles (see _encoder_math).
     """
     c, cb = _chunks(t)
+    cd = jnp.dtype(cd_name)
 
     def unflatten(treedef, refs):
         return jax.tree.unflatten(treedef, [r[:] for r in refs])
@@ -193,7 +224,7 @@ def _make_fused(num_blocks: int, t: int, d: int, keep: float,
         dm = unflatten(dm_treedef, dm_refs) if has_dropout else None
         cc = x_ref.shape[0]
         out_ref[:] = _encoder_math(ws, x_ref[:], mnd_ref[:], mq_ref[:], dm,
-                                   keep=keep, c=cc, t=t)
+                                   keep=keep, c=cc, t=t, cd=cd)
 
     def bwd_kernel(*refs):
         x_ref, mnd_ref, mq_ref, g_ref = refs[0], refs[1], refs[2], refs[3]
@@ -207,7 +238,8 @@ def _make_fused(num_blocks: int, t: int, d: int, keep: float,
         cc = x_ref.shape[0]
 
         def f(x, ws_):
-            return _encoder_math(ws_, x, mnd, mq, dm, keep=keep, c=cc, t=t)
+            return _encoder_math(ws_, x, mnd, mq, dm, keep=keep, c=cc, t=t,
+                                 cd=cd)
 
         _, pull = jax.vjp(f, x_ref[:], ws)
         dx, dws = pull(g_ref[:])
@@ -290,11 +322,12 @@ def _make_fused(num_blocks: int, t: int, d: int, keep: float,
 # public entry
 # ---------------------------------------------------------------------------
 
-def fused_encoder(model, params, x, ids_mask, masks):
+def fused_encoder(model, params, x, ids_mask, masks, dtype=None):
     """Drop-in replacement for ``SASRec.encode_math`` on TPU.
 
     x: [B, T, d] pre-assembled (√d-scaled) input embeddings; ids_mask
-    [B, T] bool; masks = the model's precomputed dropout masks or None.
+    [B, T] bool; masks = the model's precomputed dropout masks or None;
+    dtype = in-kernel MXU compute dtype (None → exact f32).
     """
     b, t, d = x.shape
     keep = 1.0 - model.dropout_rate
@@ -341,6 +374,7 @@ def fused_encoder(model, params, x, ids_mask, masks):
     dm_treedef = jax.tree.structure(dmasks) if has_dropout else \
         jax.tree.structure(None)
     apply = _make_fused(model.num_blocks, t, d, keep, has_dropout,
-                        ws_treedef, dm_treedef, _interpret())
+                        ws_treedef, dm_treedef, _interpret(),
+                        jnp.dtype(dtype or jnp.float32).name)
     out = apply(ws, x, maskf_nd, maskq, dmasks)
     return out[:b * t].reshape(b, t, d)

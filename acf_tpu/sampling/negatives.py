@@ -81,6 +81,23 @@ def sample_seq_batch(key, hist, eligible_users, maxlen: int,
     Returns:
       (users [B], seq [B, maxlen], pos [B, maxlen], neg [B, maxlen]).
     """
+    users, window, neg = sample_seq_window_batch(
+        key, hist, eligible_users, maxlen, num_items, batch_size, rounds)
+    return users, window[:, :-1], window[:, 1:], neg
+
+
+def sample_seq_window_batch(key, hist, eligible_users, maxlen: int,
+                            num_items: int, batch_size: int,
+                            rounds: int = 8):
+    """`sample_seq_batch` in packed form: (users, window [B, maxlen+1],
+    neg [B, maxlen]) with seq = window[:, :-1] and pos = window[:, 1:]
+    (identical PRNG draws — `sample_seq_batch` is a slice of this).
+
+    Sequence models consume this through ``loss_window``: materializing
+    the seq/pos overlap as ONE gather of 2T+1 rows per example (instead of
+    3T) shrinks the backward's item-table scatter-add — the single most
+    expensive non-matmul op of the SASRec step at reference geometry
+    (~550 µs/step of ~2790, scripts/profile_seq_step.py)."""
     k_u, k_n = jax.random.split(key)
     idx = jax.random.randint(k_u, (batch_size,), 0, eligible_users.shape[0])
     users = eligible_users[idx]
@@ -90,7 +107,6 @@ def sample_seq_batch(key, hist, eligible_users, maxlen: int,
         window = rows[:, L - maxlen - 1:]
     else:
         window = jnp.pad(rows, ((0, 0), (maxlen + 1 - L, 0)))
-    seq = window[:, :-1]  # [B, maxlen]
     pos = window[:, 1:]   # [B, maxlen]
 
     # One negative per (slot, position): R resampling rounds, scanned so only
@@ -108,4 +124,4 @@ def sample_seq_batch(key, hist, eligible_users, maxlen: int,
     init = (cand[-1], jnp.zeros((batch_size, maxlen), dtype=bool))
     (neg, _), _ = jax.lax.scan(body, init, cand)
     neg = jnp.where(pos != 0, neg, 0)  # pad positions carry no negative
-    return users, seq, pos, neg
+    return users, window, neg

@@ -29,7 +29,7 @@ import optax
 from acf_tpu.data.datasets import Interactions
 from acf_tpu.eval.full_rank import FullRankEvaluator
 from acf_tpu.sampling.negatives import (
-    sample_pair_epoch, sample_seq_batch, uniform_negatives,
+    sample_pair_epoch, sample_seq_window_batch, uniform_negatives,
 )
 from acf_tpu.train.checkpoint import save_params
 from acf_tpu.utils.io import OutputWriter
@@ -165,6 +165,13 @@ def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
     each step's (users, seq, pos, neg) batch is sharding-constrained over
     "data" and the program jits under GSPMD (see TrainConfig.mesh)."""
     constrain = _data_constrainer(mesh)
+    # packed-window loss when the model provides one (SequenceModel API);
+    # wrappers with dynamic batch_kind (e.g. FGSMAdversarial around a seq
+    # base) fall back to the equivalent expanded form
+    loss_window = getattr(
+        model, "loss_window",
+        lambda prm, b, k: model.loss(
+            prm, (b[0], b[1][:, :-1], b[1][:, 1:], b[2]), k))
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(carry, data, key):
@@ -174,11 +181,14 @@ def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
         def step(c, kk):
             prm, opt = c
             ks, kl = jax.random.split(kk)
-            users, seq, pos, neg = constrain(*sample_seq_batch(
+            # packed-window batch: loss_window shares the seq/pos rows in
+            # ONE 2T+1-row gather (⇒ 2T+1-row backward scatter, not 3T)
+            users, window, neg = constrain(*sample_seq_window_batch(
                 ks, data["hist"], data["eligible"],
                 model.maxlen, model.num_items, batch_size))
-            (_, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                prm, (users, seq, pos, neg), kl)
+            (_, aux), grads = jax.value_and_grad(
+                loss_window, has_aux=True)(
+                prm, (users, window, neg), kl)
             updates, opt = optimizer.update(grads, opt, prm)
             prm = optax.apply_updates(prm, updates)
             return (prm, opt), aux

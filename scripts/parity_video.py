@@ -30,8 +30,15 @@ from acf_tpu.utils.io import OutputWriter  # noqa: E402
 
 
 def run(name, data, args):
+    if args.legacy:
+        # pre-round-2 trainer path: generic 3-gather loss via the expansion
+        # fallback (bit-identical to the r1 program — window slices carry
+        # the same values); used to separate window-path rounding from
+        # seed noise in quality comparisons
+        if "loss_window" in SASRec.__dict__:
+            del SASRec.loss_window
     cfg = TrainConfig(batch_size=512, epochs=args.epochs,
-                      verbose=args.verbose, topk=10)
+                      verbose=args.verbose, topk=10, seed=args.seed)
     writer = OutputWriter(args.out, f"video_{name}")
     adagrad = optax.adagrad(0.05, initial_accumulator_value=0.1)
     adam = optax.adam(0.001, b2=0.98)
@@ -68,6 +75,9 @@ def main():
     p.add_argument("--verbose", type=int, default=20)
     p.add_argument("--models", type=str, default="bpr,apr,sasrec,asasrec")
     p.add_argument("--out", type=str, default="out/parity/")
+    p.add_argument("--seed", type=int, default=2019)
+    p.add_argument("--legacy", action="store_true",
+                   help="train through the pre-window 3-gather loss path")
     p.add_argument("--data_dir", type=str, default="/root/reference/data")
     args = p.parse_args()
 

@@ -35,7 +35,9 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 from acf_tpu.models.sasrec import SASRec  # noqa: E402
-from acf_tpu.sampling.negatives import sample_seq_batch  # noqa: E402
+from acf_tpu.sampling.negatives import (  # noqa: E402
+    sample_seq_batch, sample_seq_window_batch,
+)
 
 U, I, D = 31_013, 23_745, 64
 BS = int(os.environ.get("DECOMPOSE_BS", "512"))
@@ -80,6 +82,15 @@ def make_epoch(model, optimizer, mode: str):
         def step(c, kk):
             prm, opt = c
             ks, kl = jax.random.split(kk)
+            if mode == "train":  # the production path: packed-window batch
+                users, window, neg = sample_seq_window_batch(
+                    ks, data["hist"], data["eligible"], MAXLEN, I, BS)
+                (_, aux), grads = jax.value_and_grad(
+                    model.loss_window, has_aux=True)(
+                    prm, (users, window, neg), kl)
+                updates, opt = optimizer.update(grads, opt, prm)
+                prm = optax.apply_updates(prm, updates)
+                return (prm, opt), {"loss": aux["loss"]}
             users, seq, pos, neg = sample_seq_batch(
                 ks, data["hist"], data["eligible"], MAXLEN, I, BS)
             if mode == "sample":
@@ -131,10 +142,11 @@ def main():
     clean_xla = SASRec(U, I, D, maxlen=MAXLEN)
     adv_xla = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
                      reg_adv=1.0)
-    # f32 train-path A/B partners (the production default is bf16)
-    clean_f32 = SASRec(U, I, D, maxlen=MAXLEN, train_dtype="float32")
-    adv_f32 = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
-                     reg_adv=1.0, train_dtype="float32")
+    # bf16 train-path A/B partners (the production default is f32; bf16 is
+    # the measured +9%-clean-step opt-in, quality-negative for ASASRec)
+    clean_bf16 = SASRec(U, I, D, maxlen=MAXLEN, train_dtype="bfloat16")
+    adv_bf16 = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
+                      reg_adv=1.0, train_dtype="bfloat16")
 
     adv_table = TableASASRec(U, I, D, maxlen=MAXLEN, adversarial=True,
                              eps=0.5, reg_adv=1.0)
@@ -149,11 +161,27 @@ def main():
         ("sasrec-fwd", make_epoch(clean, adam, "fwd"), clean, adam),
         ("sasrec-fwd-xla", make_epoch(clean_xla, adam, "fwd"), clean_xla,
          adam),
-        ("sasrec-xla-f32", make_epoch(clean_f32, adam, "train"), clean_f32,
+        ("sasrec-xla-bf16", make_epoch(clean_bf16, adam, "train"),
+         clean_bf16, adam),
+        ("asasrec-xla-bf16", make_epoch(adv_bf16, adam, "train"), adv_bf16),
+        ("sasrec-fwd-xla-bf16", make_epoch(clean_bf16, adam, "fwd"),
+         clean_bf16, adam),
+        # legacy 3-gather (non-window) step for A/B vs loss_window
+        ("sasrec-xla-3g", make_epoch(clean_xla, adam, "train3g"), clean_xla,
          adam),
-        ("asasrec-xla-f32", make_epoch(adv_f32, adam, "train"), adv_f32),
-        ("sasrec-fwd-xla-f32", make_epoch(clean_f32, adam, "fwd"), clean_f32,
-         adam),
+        ("asasrec-xla-3g", make_epoch(adv_xla, adam, "train3g"), adv_xla),
+    ]
+    # fused Pallas kernel with bf16 in-kernel MXU dots (r2 rework:
+    # whole-chunk [N,N] block-diag attention at T>=32)
+    clean_bf16k = SASRec(U, I, D, maxlen=MAXLEN, fused="always",
+                         train_dtype="bfloat16")
+    adv_bf16k = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
+                       reg_adv=1.0, fused="always", train_dtype="bfloat16")
+    variants += [
+        ("sasrec-bf16k", make_epoch(clean_bf16k, adam, "train"),
+         clean_bf16k, adam),
+        ("asasrec-bf16k", make_epoch(adv_bf16k, adam, "train"),
+         adv_bf16k, adam),
         # overhead decomposition of the XLA step
         ("sasrec-xla-grad", make_epoch(clean_xla, adam, "grad"), clean_xla,
          adam),

@@ -57,3 +57,27 @@ def test_seq_batch_windows():
                 assert neg[b, t] >= 1
             else:
                 assert neg[b, t] == 0
+
+
+def test_seq_window_batch_is_slice_of_seq_batch():
+    """sample_seq_window_batch packs (window, neg); sample_seq_batch must be
+    exactly its (window[:-1], window[1:]) slices under the same key — the
+    trainer's loss_window path and the generic loss path see the same data."""
+    from acf_tpu.sampling import sample_seq_window_batch
+
+    hist = np.zeros((3, 8), dtype=np.int32)
+    hist[1, 2:] = [3, 4, 5, 6, 7, 9]
+    hist[2, 6:] = [7, 8]
+    eligible = np.array([1, 2], dtype=np.int32)
+    key = jax.random.PRNGKey(11)
+    u1, w, n1 = sample_seq_window_batch(
+        key, jnp.asarray(hist), jnp.asarray(eligible),
+        maxlen=3, num_items=20, batch_size=16)
+    u2, s, p, n2 = sample_seq_batch(
+        key, jnp.asarray(hist), jnp.asarray(eligible),
+        maxlen=3, num_items=20, batch_size=16)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(w[:, :-1]), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(w[:, 1:]), np.asarray(p))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    assert w.shape == (16, 4)

@@ -171,6 +171,43 @@ def test_row_space_adv_path_matches_table_path():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
 
 
+def test_loss_window_matches_loss():
+    """The packed-window loss (one 2T+1-row gather sharing the seq/pos
+    overlap) must equal the generic 3-gather loss — value AND grads — for
+    clean and adversarial (FGSM hot path) models, since it only
+    reassociates the backward scatter's sums."""
+    data = seq_data()
+    for kw in ({}, {"adversarial": True, "eps": 0.5}):
+        m = make_model(data, train_dtype="float32", **kw)
+        params = m.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(7)
+        window = jnp.asarray(rng.integers(1, data.num_items, (4, 9)),
+                             jnp.int32)
+        window = window.at[0, :5].set(0)  # padded prefix
+        neg = jnp.asarray(rng.integers(1, data.num_items, (4, 8)), jnp.int32)
+        neg = jnp.where(window[:, 1:] != 0, neg, 0)
+        users = jnp.arange(1, 5, dtype=jnp.int32)
+        key = jax.random.PRNGKey(3)
+        (lw, auxw), gw = jax.value_and_grad(m.loss_window, has_aux=True)(
+            params, (users, window, neg), key)
+        (le, auxe), ge = jax.value_and_grad(m.loss, has_aux=True)(
+            params, (users, window[:, :-1], window[:, 1:], neg), key)
+        np.testing.assert_allclose(float(lw), float(le), rtol=1e-6)
+        if "loss_adv" in auxe:
+            np.testing.assert_allclose(float(auxw["loss_adv"]),
+                                       float(auxe["loss_adv"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(ge)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+    # asasrec2 / PGD delegate to the generic expansion — still exact
+    m2 = make_model(data, adversarial=True, adv_mode="asasrec2",
+                    eps_dense=0.3, train_dtype="float32")
+    l2w, _ = m2.loss_window(params, (users, window, neg),
+                            jax.random.PRNGKey(3))
+    l2e, _ = m2.loss(params, (users, window[:, :-1], window[:, 1:], neg),
+                     jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(l2w), float(l2e), rtol=1e-6)
+
+
 def test_packed_attention_matches_unpacked():
     """pack_attention packs ⌊128/T⌋ users into one block-diagonal MXU tile.
     In f32 the result is bitwise-equal to the unpacked path (off-block
@@ -213,13 +250,16 @@ def test_packed_attention_matches_unpacked():
 
 
 def test_bf16_train_path_close_to_f32_and_eval_unaffected():
-    """train_dtype="bfloat16" (the default) runs the TRAIN-path encoder in
-    bf16: the loss must stay close to the f32 path and its grads finite,
-    while the EVAL path (encode/score_all — ranking precision rules) is
-    bit-identical regardless of train_dtype."""
+    """train_dtype="bfloat16" (opt-in; f32 is the default — bf16 measured
+    quality-negative for ASASRec, see the field docstring) runs the
+    TRAIN-path encoder in bf16: the loss must stay close to the f32 path
+    and its grads finite, while the EVAL path (encode/score_all — ranking
+    precision rules) is bit-identical regardless of train_dtype."""
     data = seq_data()
-    m16 = make_model(data, adversarial=True, eps=0.5)  # default bf16
+    m16 = make_model(data, adversarial=True, eps=0.5,
+                     train_dtype="bfloat16")
     mf = make_model(data, adversarial=True, eps=0.5, train_dtype="float32")
+    assert make_model(data)._compute_dtype() is None  # f32 default
     assert m16._compute_dtype() == jnp.bfloat16
     assert mf._compute_dtype() is None
     params = m16.init_params(jax.random.PRNGKey(0))
