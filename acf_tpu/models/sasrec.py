@@ -104,12 +104,13 @@ class SASRec(SequenceModel):
                             # encoder activations/matmuls in bf16 with f32
                             # LayerNorm moments/softmax/loss head — measured
                             # +9% on the clean T=50 step (docs/ROADMAP.md)
-                            # and quality-neutral for CLEAN SASRec on Video
-                            # (HR@10 0.0846 bf16 vs 0.0851 f32), but it
-                            # degrades ASASRec (FGSM direction through a
-                            # bf16 encoder): 0.0986 vs the f32 0.1007 and
-                            # reference 0.0993 — so f32 stays the default
-                            # and bf16 is the measured opt-in
+                            # and quality-neutral on the seeds tested
+                            # (Video 2000-epoch runs, seed 2019: clean
+                            # SASRec 0.0846 bf16 vs 0.0851 f32; ASASRec
+                            # 0.0986 bf16 vs 0.0988 f32 — same-trajectory
+                            # spread is ~±0.001, docs/PARITY.md). f32 stays
+                            # the default so quality claims rest on exact
+                            # math; bf16 is the measured opt-in
                             # (--train_dtype bfloat16). Eval/serving always
                             # run f32 (ranking precision rules unchanged).
 

@@ -51,10 +51,17 @@ _ROWS_BWD = int(_os.environ.get("SASREC_FUSED_ROWS_BWD", "256"))
 
 
 def _chunks(t: int):
+    # chunk sizes must stay multiples of 8: 2D mask blocks [C, T] need
+    # their leading block dim divisible by 8 (Mosaic block-shape rule)
     cb = max(8, _ROWS_BWD // t)
     # fwd chunk a multiple of the bwd chunk so one batch pad serves both
     c = max(cb, _ROWS_FWD // t // cb * cb)
     return c, cb
+
+
+# the [N,N] block-diag attention's vjp at T=50/cb=8 needs ~16.2 MB scoped
+# VMEM — just over Mosaic's 16 MB default; v5e has 128 MB of VMEM
+_VMEM_LIMIT = int(_os.environ.get("SASREC_FUSED_VMEM_MB", "64")) * 2 ** 20
 
 
 def _interpret() -> bool:
@@ -282,6 +289,8 @@ def _make_fused(num_blocks: int, t: int, d: int, keep: float,
             out_specs=_chunk_spec((c * t, d)),
             out_shape=jax.ShapeDtypeStruct((x.shape[0] * t, d), x.dtype),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(x, maskf_nd, maskq, *ws_flat, *dm_flat)
 
     def apply_fwd(ws, x, maskf_nd, maskq, dmasks):
@@ -306,6 +315,8 @@ def _make_fused(num_blocks: int, t: int, d: int, keep: float,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(x, maskf_nd, maskq, g, *ws_flat, *dm_flat)
         dx, dws_flat = outs[0], outs[1:]
         dws = jax.tree.unflatten(ws_treedef, list(dws_flat))
