@@ -143,7 +143,10 @@ class PopularityAdversarial(PairwiseModel):
 
     # -- the fused epoch ----------------------------------------------------
     def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
-                      dev=None):
+                      dev=None, mesh=None):
+        from acf_tpu.parallel.mesh import data_constrainer
+
+        constrain = data_constrainer(mesh)
         disc_opt = self._disc_opt()
         half = batch_size // 2
 
@@ -189,16 +192,20 @@ class PopularityAdversarial(PairwiseModel):
                 prm, opt = c
                 idx, kk = xs
                 ks = jax.random.split(kk, 10)
-                u = data["pairs_u"][idx]
-                pos = data["pairs_i"][idx]
+                u, pos = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
                 neg = uniform_negatives(ks[0], data["hist"][u], self.num_items)
                 batch = (u, pos, neg)
 
-                # 1. discriminator step (popular → 1, rare → 0)
-                pop_ids = {"u": sample_ids(ks[1], data["pop_u"], batch_size),
-                           "i": sample_ids(ks[2], data["pop_i"], batch_size)}
-                rare_ids = {"u": sample_ids(ks[3], data["rare_u"], batch_size),
-                            "i": sample_ids(ks[4], data["rare_i"], batch_size)}
+                # 1. discriminator step (popular → 1, rare → 0); the pool
+                # draws are batch-shaped, so they data-shard like the batch
+                pop_ids = {"u": constrain(
+                               sample_ids(ks[1], data["pop_u"], batch_size)),
+                           "i": constrain(
+                               sample_ids(ks[2], data["pop_i"], batch_size))}
+                rare_ids = {"u": constrain(
+                                sample_ids(ks[3], data["rare_u"], batch_size)),
+                            "i": constrain(
+                                sample_ids(ks[4], data["rare_i"], batch_size))}
                 d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
                     prm["disc"], prm["base"], pop_ids, rare_ids)
                 d_up, d_opt = disc_opt.update(d_grads, opt["disc"], prm["disc"])
@@ -212,12 +219,12 @@ class PopularityAdversarial(PairwiseModel):
                 # item draws would make the index vectors monotone transforms
                 # of each other (rank-correlated user/item pairs every step)
                 adv_ids = {
-                    "u": jnp.concatenate([
+                    "u": constrain(jnp.concatenate([
                         sample_ids(ks[5], data["pop_u"], half),
-                        sample_ids(ks[6], data["rare_u"], half)]),
-                    "i": jnp.concatenate([
+                        sample_ids(ks[6], data["rare_u"], half)])),
+                    "i": constrain(jnp.concatenate([
                         sample_ids(ks[8], data["pop_i"], half),
-                        sample_ids(ks[9], data["rare_i"], half)]),
+                        sample_ids(ks[9], data["rare_i"], half)])),
                 }
                 (_, aux), g_grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(

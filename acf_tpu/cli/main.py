@@ -121,6 +121,14 @@ def build_parser():
                    help="directory for a JAX profiler trace of the run "
                         "(open with tensorboard/xprof or Perfetto; the "
                         "reference has no profiler — SURVEY.md §5)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="train over a DATAxMODEL device mesh (e.g. 4x2: "
+                        "batch sharded 4-way over \"data\", embedding tables "
+                        "row-sharded 2-way over \"model\"; \"8\" = pure data "
+                        "parallel). Falls back to virtual CPU devices when "
+                        "fewer real devices exist (testing only). The "
+                        "reference is strictly single-process — SURVEY.md "
+                        "§2.2")
     return p
 
 
@@ -243,6 +251,12 @@ def make_model(name, data, args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # the virtual-device fallback clears live JAX backends — build the mesh
+    # before anything allocates device arrays
+    mesh = None
+    if args.mesh:
+        from acf_tpu.parallel.mesh import mesh_from_spec
+        mesh = mesh_from_spec(args.mesh)
     data = load_dataset(args.data, args.path or "data/",
                         eval_mode=args.eval_mode,
                         nrows=args.nrows or None)
@@ -283,7 +297,12 @@ def main(argv=None):
     if args.save_model:
         import os
         os.makedirs("h5", exist_ok=True)  # reference save dir (run.py:260)
+    if mesh is not None:
+        writer.line("Mesh: data=%d model=%d over %d %s device(s)"
+                    % (mesh.shape["data"], mesh.shape["model"],
+                       mesh.size, mesh.devices.flat[0].platform))
     cfg = TrainConfig(batch_size=args.bs, epochs=epochs,
+                      mesh=mesh,
                       verbose=args.verbose, topk=args.topk,
                       eval_sampled=(args.eval_mode == "sample"),
                       ckpt_every=args.ckpt,

@@ -110,7 +110,10 @@ class APL(PairwiseModel):
                 jnp.mean(jnp.logaddexp(0.0, -y)) + self.reg_c * c_l2)
 
     def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
-                      dev=None):
+                      dev=None, mesh=None):
+        from acf_tpu.parallel.mesh import data_constrainer
+
+        constrain = data_constrainer(mesh)
         g_opt = optax.sgd(self.lr)
         c_opt = optax.sgd(self.lr)
 
@@ -181,8 +184,7 @@ class APL(PairwiseModel):
             def c_step(c, xs):
                 c_params, c_os = c
                 idx, kk = xs
-                u = data["pairs_u"][idx]
-                i = data["pairs_i"][idx]
+                u, i = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
                 cl, grads = jax.value_and_grad(critic_step_loss)(
                     c_params, params["g"], u, i, kk)
                 up, c_os = c_opt.update(grads, c_os, c_params)
@@ -199,8 +201,7 @@ class APL(PairwiseModel):
             def g_step(c, xs):
                 g_params, g_os = c
                 idx, kk = xs
-                u = data["pairs_u"][idx]
-                i = data["pairs_i"][idx]
+                u, i = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
                 hist_rows = data["hist"][u]
                 gl, grads = jax.value_and_grad(gen_step_loss)(
                     g_params, c_new, u, i, hist_rows, kk)

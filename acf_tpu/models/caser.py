@@ -154,7 +154,11 @@ class Caser(SequenceModel):
             "win_pos": jnp.asarray(np.stack(tgts).astype(np.int32)),
         }
 
-    def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int, dev):
+    def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int, dev,
+                      mesh=None):
+        from acf_tpu.parallel.mesh import data_constrainer
+
+        constrain = data_constrainer(mesh)
         n_windows = int(dev["win_seq"].shape[0])
         num_batches = max(n_windows // batch_size, 1)
         T = self.target_len
@@ -172,9 +176,9 @@ class Caser(SequenceModel):
                 prm, opt = c
                 idx, kk = xs
                 kn, kl = jax.random.split(kk)
-                users = data["win_user"][idx]
-                seq = data["win_seq"][idx]
-                pos = data["win_pos"][idx]
+                users, seq, pos = constrain(
+                    data["win_user"][idx], data["win_seq"][idx],
+                    data["win_pos"][idx])
                 hist_rows = data["hist"][users]
                 negs = []
                 nk = jax.random.split(kn, T)

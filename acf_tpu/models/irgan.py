@@ -95,7 +95,10 @@ class IRGAN(PairwiseModel):
 
     # ------------------------------------------------------------------
     def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
-                      dev=None):
+                      dev=None, mesh=None):
+        from acf_tpu.parallel.mesh import data_constrainer
+
+        constrain = data_constrainer(mesh)
         d_opt = optax.sgd(self.d_lr)
         g_opt = optax.sgd(self.g_lr)
         lam_d = self.lamda_d / batch_size
@@ -151,8 +154,8 @@ class IRGAN(PairwiseModel):
             def d_step(c, xs):
                 d_params, d_os, g_params = c
                 idx, kk = xs
-                u = data["pairs_u"][idx]
-                pos = data["pairs_i"][idx]
+                u, pos = constrain(data["pairs_u"][idx],
+                                   data["pairs_i"][idx])
                 # fake item ~ softmax(G(u)/T) via Gumbel-max (exact)
                 logits = g_row_logits(g_params, u) / self.temperature
                 fake = jnp.argmax(logits + _gumbel(kk, logits.shape),
@@ -180,7 +183,7 @@ class IRGAN(PairwiseModel):
                 g_params, g_os = c
                 idx, kk = xs
                 k1, k2, k3 = jax.random.split(kk, 3)
-                u = data["pairs_u"][idx]
+                u = constrain(data["pairs_u"][idx])
                 hist_rows = data["hist"][u]  # for the positive mixture
                 logits = g_row_logits(g_params, u)
                 prob = jax.nn.softmax(logits, axis=-1)  # [B, I]

@@ -31,7 +31,11 @@ class _NaiveBase(PairwiseModel):
     def init_opt_state(self, optimizer, params):
         return ()
 
-    def make_epoch_fn(self, optimizer, batch_size, num_batches, dev=None):
+    def make_epoch_fn(self, optimizer, batch_size, num_batches, dev=None,
+                      mesh=None):
+        # naive baselines train nothing (scores come from init_params'
+        # host-side counting pass) — a mesh changes nothing here, so the
+        # no-op epoch accepts and ignores it rather than refusing
         def epoch_fn(carry, data, key):
             return carry, {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
         return epoch_fn

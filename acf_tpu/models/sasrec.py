@@ -254,7 +254,10 @@ class SASRec(SequenceModel):
         row-sharded and lookups happen outside (parallel/sharded_embedding).
         Only touches ``pos_emb``/``blocks``/``ln_f`` in ``params``.
         ``dtype`` = internal compute dtype (None → f32); the output is
-        always f32. The fused Pallas kernel is f32-only and ignores it."""
+        always f32. The fused Pallas kernel honors it too: its in-kernel
+        MXU dots run in ``dtype`` with f32 accumulation (LayerNorm moments,
+        softmax and the residual stream stay f32), so the fused path is
+        only bit-exact vs ``encode_math`` when ``dtype`` is None/f32."""
         if key is None:
             key = jax.random.PRNGKey(0)
         b, t = x.shape[0], x.shape[1]

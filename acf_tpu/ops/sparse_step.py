@@ -60,7 +60,17 @@ class SparseMFBPR(MFBPR):
         }
 
     def make_epoch_fn(self, optimizer, batch_size: int, num_batches: int,
-                      dev=None):
+                      dev=None, mesh=None):
+        if mesh is not None:
+            # the row-space step hand-schedules touched-row gathers/scatters
+            # and its own Adagrad slot math — under GSPMD those scatters
+            # would run replicated, not sharded. Refuse loudly rather than
+            # training a silently-unsharded program (the dense MFBPR path
+            # supports TrainConfig.mesh and wins at reference-scale tables
+            # anyway — docs/ROADMAP.md).
+            raise NotImplementedError(
+                "SparseMFBPR does not support TrainConfig.mesh; use the "
+                "dense MFBPR/APR path for mesh training")
         b = batch_size
         lr, eps_opt = self.lr, self.opt_eps
 

@@ -37,6 +37,44 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
     return Mesh(devices.reshape(num_data, num_model), ("data", "model"))
 
 
+def ensure_virtual_devices(n: int) -> None:
+    """Self-configure an n-device CPU platform when the runtime exposes
+    fewer real devices (e.g. the 1-chip axon tunnel, or a bare CPU run
+    without --xla_force_host_platform_device_count). Round-1 lesson: mesh
+    entry points must not depend on the caller's environment. NOTE: this
+    clears live backends and forces the CPU platform — it is a TESTING
+    fallback, never a production path."""
+    import jax.extend  # not re-exported by the bare `jax` namespace
+
+    if len(jax.devices()) >= n:
+        return
+    # order matters: jax_num_cpu_devices refuses to update while a backend
+    # is live, and len(jax.devices()) above initialized one
+    jax.extend.backend.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+    assert len(jax.devices()) >= n, (len(jax.devices()), n)
+
+
+def mesh_from_spec(spec: str) -> Mesh:
+    """Parse a ``--mesh`` CLI spec: ``"4x2"`` → 4-way data × 2-way model,
+    ``"8"`` → 8-way data parallel. Falls back to virtual CPU devices when
+    the runtime has fewer than data×model devices (testing; see
+    :func:`ensure_virtual_devices`)."""
+    parts = spec.lower().replace("×", "x").split("x")
+    try:
+        num_data = int(parts[0])
+        num_model = int(parts[1]) if len(parts) > 1 else 1
+    except (ValueError, IndexError):
+        raise ValueError(
+            f"--mesh expects DATAxMODEL (e.g. 4x2) or N, got {spec!r}")
+    n = num_data * num_model
+    if len(jax.devices()) < n:
+        ensure_virtual_devices(n)
+    return make_mesh(num_data=num_data, num_model=num_model,
+                     devices=jax.devices()[:n])
+
+
 def table_spec() -> P:
     """Embedding tables: rows sharded over the model axis."""
     return P("model", None)
@@ -83,6 +121,29 @@ def shard_batch(mesh: Mesh, batch):
     from acf_tpu.parallel.input_pipeline import host_sharded_array
 
     return jax.tree.map(lambda x: host_sharded_array(mesh, x), batch)
+
+
+def data_constrainer(mesh: Optional[Mesh]):
+    """Batch-sharding hook for GSPMD mesh training: constrain each step's
+    batch tensors to ``P("data", ...)`` so XLA parallelizes the step over
+    the data axis (and psums gradients) instead of replicating the compute.
+    Identity when ``mesh`` is None — the single-device program is unchanged.
+
+    Used by every epoch builder in the framework (the trainer's pair/seq
+    paths and the bespoke ``make_epoch_fn`` programs of the GAN /
+    discriminator / windowed models), so ``TrainConfig.mesh`` means the
+    same thing for the whole zoo."""
+    if mesh is None:
+        return lambda *xs: xs if len(xs) != 1 else xs[0]
+
+    def constrain(*xs):
+        out = tuple(
+            jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+            for x in xs)
+        return out if len(out) != 1 else out[0]
+
+    return constrain
 
 
 def data_parallel_step(mesh: Mesh, loss_and_grad_step):

@@ -202,7 +202,8 @@ def make_sharded_sasrec_step(mesh: Mesh, model, lr: float = 1e-3):
             # plain-jnp encoder math, NOT encode_core: the fused Pallas
             # kernel can't trace under shard_map's vma tracking (and this
             # path is the explicit-collectives reference, kept simple).
-            # Honors the model's train-path compute dtype (bf16 default).
+            # Honors the model's train-path compute dtype (f32 default,
+            # bf16 opt-in via train_dtype).
             return model.encode_math(rp, x, seq != 0, None,
                                      dtype=model._compute_dtype())
 

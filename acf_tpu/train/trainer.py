@@ -68,23 +68,11 @@ class TrainConfig:
 
 
 def _data_constrainer(mesh):
-    """Batch-sharding hook for GSPMD mesh training: constrain each step's
-    batch tensors to ``P("data", ...)`` so XLA parallelizes the step over
-    the data axis (and psums gradients) instead of replicating the compute.
-    Identity when ``mesh`` is None — the single-device program is unchanged.
-    """
-    if mesh is None:
-        return lambda *xs: xs if len(xs) != 1 else xs[0]
-    from jax.sharding import NamedSharding, PartitionSpec as SP
+    """See :func:`acf_tpu.parallel.mesh.data_constrainer` (moved there so
+    model-owned ``make_epoch_fn`` builders share the same hook)."""
+    from acf_tpu.parallel.mesh import data_constrainer
 
-    def constrain(*xs):
-        out = tuple(
-            jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, SP("data", *([None] * (x.ndim - 1)))))
-            for x in xs)
-        return out if len(out) != 1 else out[0]
-
-    return constrain
+    return data_constrainer(mesh)
 
 
 def make_pair_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
@@ -167,11 +155,14 @@ def make_seq_epoch_fn(model, optimizer, batch_size: int, num_batches: int,
     constrain = _data_constrainer(mesh)
     # packed-window loss when the model provides one (SequenceModel API);
     # wrappers with dynamic batch_kind (e.g. FGSMAdversarial around a seq
-    # base) fall back to the equivalent expanded form
-    loss_window = getattr(
-        model, "loss_window",
-        lambda prm, b, k: model.loss(
-            prm, (b[0], b[1][:, :-1], b[1][:, 1:], b[2]), k))
+    # base) fall back to the equivalent expanded form. An instance can set
+    # ``use_window_loss = False`` to force the expansion fallback (the
+    # pre-window 3-gather program) — a per-instance A/B switch, used by
+    # scripts/parity_video.py --legacy instead of mutating class state.
+    _expand = lambda prm, b, k: model.loss(
+        prm, (b[0], b[1][:, :-1], b[1][:, 1:], b[2]), k)
+    loss_window = (getattr(model, "loss_window", _expand)
+                   if getattr(model, "use_window_loss", True) else _expand)
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(carry, data, key):
@@ -247,7 +238,8 @@ class Trainer:
             # own epoch program from the device data
             self.num_batches = max(data.num_pairs // config.batch_size, 1)
             self.epoch_fn = model.make_epoch_fn(
-                optimizer, config.batch_size, self.num_batches, self.dev)
+                optimizer, config.batch_size, self.num_batches, self.dev,
+                mesh=config.mesh)
         elif model.batch_kind == "seq":
             # reference: num_batch = len(trainSeq) // batch_size (SASRec.py:449)
             n_seq_users = int((data.hist_len >= 1).sum())
@@ -518,7 +510,7 @@ class Trainer:
         if hasattr(model, "make_epoch_fn"):
             self.epoch_fn = model.make_epoch_fn(
                 self.optimizer, self.cfg.batch_size, self.num_batches,
-                self.dev)
+                self.dev, mesh=self.cfg.mesh)
         elif model.batch_kind == "seq":
             self.epoch_fn = make_seq_epoch_fn(
                 model, self.optimizer, self.cfg.batch_size, self.num_batches,

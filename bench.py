@@ -64,10 +64,14 @@ def main():
     n_epochs = 5
     tr.run_epoch()          # compile single-epoch program + warmup
     tr.run_epochs(n_epochs)  # compile the fused block (the fit() hot path)
-    dt = min(  # best-of-3: the axon tunnel adds run-to-run jitter
-        _timed(lambda: tr.run_epochs(n_epochs)) for _ in range(3))
+    # best-of-3 same-session blocks: the axon tunnel adds run-to-run jitter
+    # (VERDICT r2 #6 — record the spread so round-over-round deltas are
+    # interpretable against the measurement noise)
+    times = [_timed(lambda: tr.run_epochs(n_epochs)) for _ in range(3)]
+    dt = min(times)
     examples = n_epochs * tr.num_batches * cfg.batch_size
     ex_per_s = examples / dt
+    spread = [round(examples / t, 1) for t in times]
 
     baseline_cpu = 268_000.0  # reference APR train-phase examples/s (CPU)
     print(json.dumps({
@@ -75,6 +79,7 @@ def main():
         "value": round(ex_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_s / baseline_cpu, 2),
+        "samples": spread,
     }))
 
 

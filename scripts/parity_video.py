@@ -30,13 +30,15 @@ from acf_tpu.utils.io import OutputWriter  # noqa: E402
 
 
 def run(name, data, args):
-    if args.legacy:
-        # pre-round-2 trainer path: generic 3-gather loss via the expansion
-        # fallback (bit-identical to the r1 program — window slices carry
-        # the same values); used to separate window-path rounding from
-        # seed noise in quality comparisons
-        if "loss_window" in SASRec.__dict__:
-            del SASRec.loss_window
+    def _mk_sasrec(**kw):
+        m = SASRec(data.num_users, data.num_items, 64, maxlen=8, **kw)
+        if args.legacy:
+            # pre-round-2 trainer path: generic 3-gather loss via the
+            # expansion fallback (window slices carry the same values);
+            # per-INSTANCE switch (make_seq_epoch_fn honors it) — no
+            # global class mutation
+            m.use_window_loss = False
+        return m
     cfg = TrainConfig(batch_size=512, epochs=args.epochs,
                       verbose=args.verbose, topk=10, seed=args.seed)
     writer = OutputWriter(args.out, f"video_{name}")
@@ -52,12 +54,10 @@ def run(name, data, args):
         best = fit_two_phase(clean, adv, data, adagrad, cfg,
                              adv_epoch=args.epochs // 2, writer=writer)
     elif name == "sasrec":
-        best = Trainer(SASRec(U, I, 64, maxlen=8), data, adam, cfg,
-                       writer).fit()
+        best = Trainer(_mk_sasrec(), data, adam, cfg, writer).fit()
     elif name == "asasrec":
-        clean = SASRec(U, I, 64, maxlen=8)
-        adv = SASRec(U, I, 64, maxlen=8, adversarial=True, eps=0.5,
-                     reg_adv=1.0)
+        clean = _mk_sasrec()
+        adv = _mk_sasrec(adversarial=True, eps=0.5, reg_adv=1.0)
         # asasrec carries Adam slots into phase 2 (reference full-var Saver,
         # utils.py:306-315) — unlike apr, which resets Adagrad accumulators
         best = fit_two_phase(clean, adv, data, adam, cfg,

@@ -486,3 +486,112 @@ def test_sharded_recommend_k_exceeds_shard_width(mesh):
 
     with pytest.raises(ValueError, match="cannot serve top-"):
         make_sharded_recommend(mesh, lambda p, u, h: None, num_items=4, k=10)
+
+
+def test_trainer_mesh_training_popularity_adversarial(mesh):
+    """VERDICT r2 #3: models owning a bespoke ``make_epoch_fn`` must honor
+    ``TrainConfig.mesh`` too. AMF (PopularityAdversarial over PointwiseMF)
+    under the mesh must track the single-device trainer to float tolerance —
+    same seeds → identical sampled batches; only GSPMD reduction order
+    differs."""
+    import optax
+
+    from acf_tpu.adversarial.popularity import PopularityAdversarial
+    from acf_tpu.models.mf import PointwiseMF
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=43)
+    mk = lambda cfg: Trainer(
+        PopularityAdversarial(
+            data.num_users, data.num_items, 8,
+            base=PointwiseMF(data.num_users, data.num_items, 8),
+            weight=0.01, pop_percent=0.2),
+        data, optax.adam(1e-3), cfg)
+    a = mk(TrainConfig(batch_size=32, verbose=10**9))
+    b = mk(TrainConfig(batch_size=32, verbose=10**9, mesh=mesh,
+                       shard_min_rows=2))
+    assert b.params["base"]["P"].sharding.spec == P("model", None)
+    for _ in range(2):
+        a.run_epoch()
+        b.run_epoch()
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(a.params))
+    flat_b = jax.tree.leaves(jax.device_get(b.params))
+    for (path, wa), wb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(wa, wb, rtol=1e-3, atol=5e-4,
+                                   err_msg=str(path))
+    best = b.fit(epochs=2, tag="t")
+    assert best["ndcg"] >= 0
+
+
+def test_trainer_mesh_training_irgan(mesh):
+    """IRGAN's two-phase GAN epoch (full D pass then full G pass) under
+    ``TrainConfig.mesh`` must track the single-device trainer — covers the
+    ``make_epoch_fn`` path with per-step full-catalog [B, I] logits."""
+    import optax
+
+    from acf_tpu.models.irgan import IRGAN
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=44)
+    mk = lambda cfg: Trainer(
+        IRGAN(data.num_users, data.num_items, 8),
+        data, optax.sgd(1e-3), cfg)
+    a = mk(TrainConfig(batch_size=32, verbose=10**9))
+    b = mk(TrainConfig(batch_size=32, verbose=10**9, mesh=mesh,
+                       shard_min_rows=2))
+    for _ in range(2):
+        a.run_epoch()
+        b.run_epoch()
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(a.params))
+    flat_b = jax.tree.leaves(jax.device_get(b.params))
+    # SGD, no slot normalization: tolerances are pure reduction-order noise
+    for (path, wa), wb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-5,
+                                   err_msg=str(path))
+
+
+def test_trainer_mesh_training_apl_and_caser(mesh):
+    """Smoke + tolerance for the remaining bespoke-epoch families under the
+    mesh: APL (gumbel-softmax GAN) and Caser (windowed conv)."""
+    import optax
+
+    from acf_tpu.models.apl import APL
+    from acf_tpu.models.caser import Caser
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=45)
+    for model_fn, opt in (
+            (lambda: APL(data.num_users, data.num_items, 8), optax.sgd(0.05)),
+            (lambda: Caser(data.num_users, data.num_items, 8, maxlen=6),
+             optax.adam(1e-3))):
+        mk = lambda cfg: Trainer(model_fn(), data, opt, cfg)
+        a = mk(TrainConfig(batch_size=32, verbose=10**9))
+        b = mk(TrainConfig(batch_size=32, verbose=10**9, mesh=mesh,
+                           shard_min_rows=2))
+        a.run_epoch()
+        b.run_epoch()
+        flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(a.params))
+        flat_b = jax.tree.leaves(jax.device_get(b.params))
+        for (path, wa), wb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                wa, wb, rtol=1e-3, atol=5e-4,
+                err_msg=f"{type(model_fn()).__name__} {path}")
+
+
+def test_sparse_step_refuses_mesh(mesh):
+    """SparseMFBPR's hand-scheduled row-space step is not GSPMD-ready —
+    TrainConfig.mesh must refuse loudly, not train unsharded silently."""
+    import optax
+
+    from acf_tpu.ops.sparse_step import SparseMFBPR
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=46)
+    with pytest.raises(NotImplementedError, match="mesh"):
+        Trainer(SparseMFBPR(data.num_users, data.num_items, 8),
+                data, optax.adagrad(0.05),
+                TrainConfig(batch_size=32, verbose=10**9, mesh=mesh))

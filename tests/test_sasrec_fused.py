@@ -58,7 +58,9 @@ def test_fused_loss_grads_match_jnp():
 def test_fused_adversarial_loss_matches_jnp():
     m_ref, m_fus, params, batch = _fixture()
     kwargs = dict(maxlen=T, adversarial=True, eps=0.5, reg_adv=1.0,
-                  train_dtype="float32")  # the Pallas kernel is f32-only
+                  train_dtype="float32")  # f32: the fused kernel honors the
+                  # compute dtype (bf16 MXU dots, f32 accum) — exact
+                  # comparison vs the jnp path needs f32
     a_ref = SASRec(20, I, D, fused="never", **kwargs)
     a_fus = SASRec(20, I, D, fused="always", **kwargs)
     key = jax.random.PRNGKey(3)

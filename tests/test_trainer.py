@@ -236,3 +236,24 @@ def test_manual_grads_batch_cap_falls_back_to_autodiff():
                  TrainConfig(batch_size=32, verbose=10**9))
     stats = tr.run_epoch()  # would raise if the closed form were selected
     assert np.isfinite(stats["loss"])
+
+
+def test_use_window_loss_instance_switch():
+    """ADVICE r2: the --legacy A/B path is a per-instance switch
+    (use_window_loss=False routes make_seq_epoch_fn through the expansion
+    fallback), not global class mutation."""
+    from acf_tpu.models.sasrec import SASRec
+
+    data = synthetic_data(seed=7)
+    m = SASRec(data.num_users, data.num_items, 8, maxlen=6, num_blocks=1)
+    m.use_window_loss = False
+    # proves the fallback path: a poisoned loss_window must never be called
+    m.loss_window = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("loss_window called despite use_window_loss=False"))
+    tr = Trainer(m, data, optax.adam(1e-3),
+                 TrainConfig(batch_size=16, verbose=10**9))
+    stats = tr.run_epoch()
+    assert np.isfinite(stats["loss"])
+    # and an untouched second instance still uses the window path
+    m2 = SASRec(data.num_users, data.num_items, 8, maxlen=6, num_blocks=1)
+    assert getattr(m2, "use_window_loss", True)
