@@ -102,6 +102,47 @@ def _positions_factored(user_repr_fn, table_fn, params, users, hists, gt,
 
 
 @partial(jax.jit, static_argnums=(0,))
+def _positions_full_all(score_fn, params, users_t, hists_t, gt_t):
+    """All tiles in ONE dispatch: ``lax.scan`` over the [n_tiles, B, ...]
+    stacks. Each step materializes one [B, I] score tile (memory bounded as
+    before); the whole evaluation costs a single host→device dispatch
+    instead of one per tile (~15-20 ms fixed cost each through the axon
+    tunnel — at 61 tiles that overhead alone exceeded the compute)."""
+    def body(_, tile):
+        u, h, g = tile
+        return None, _positions_full(score_fn, params, u, h, g)
+
+    _, pos = jax.lax.scan(body, None, (users_t, hists_t, gt_t))
+    return pos.reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6))
+def _positions_factored_all(user_repr_fn, table_fn, params, users_t, hists_t,
+                            gt_t, interpret, corr_t):
+    """Factored/Pallas path, all tiles in one dispatch (see
+    ``_positions_full_all``)."""
+    def body(_, tile):
+        u, h, g, c = tile
+        return None, _positions_factored(user_repr_fn, table_fn, params,
+                                         u, h, g, c, interpret)
+
+    _, pos = jax.lax.scan(body, None, (users_t, hists_t, gt_t, corr_t))
+    return pos.reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _positions_sampled_all(score_some_fn, params, users_t, hists_t, gt_t,
+                           negs_t):
+    """Sampled-negative path, all tiles in one dispatch."""
+    def body(_, tile):
+        u, h, g, n = tile
+        return None, _positions_sampled(score_some_fn, params, u, h, g, n)
+
+    _, pos = jax.lax.scan(body, None, (users_t, hists_t, gt_t, negs_t))
+    return pos.reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def _positions_sampled(score_some_fn, params, users, hists, gt, negs):
     """Rank position of ``gt`` among sampled negatives
     (reference evaluation.py:114-135 rank-position rule)."""
@@ -184,52 +225,55 @@ class FullRankEvaluator:
             e = s + self.batch_users
             yield self._users_d[s:e], self._hists_d[s:e], self._gt_d[s:e], s, e
 
+    def _tiled(self, x):
+        """[Up, ...] padded device array → [n_tiles, B, ...] stack (a free
+        reshape — Up is already a multiple of the tile size)."""
+        return x.reshape((-1, self.batch_users) + x.shape[1:])
+
     def positions(self, score_fn: Callable, params) -> np.ndarray:
         """Rank positions for every eval user (full-catalog mode).
 
         ``score_fn(params, users[B], hists[B, L]) -> [B, num_items]``.
-        Tile dispatches stay async (no per-tile host sync); one transfer at
-        the end.
+        All tiles run as ONE device dispatch (scan over tiles); one
+        transfer at the end.
         """
-        out = []
-        for users, hists, gt, _, _ in self._tiles():
-            out.append(_positions_full(score_fn, params, users, hists, gt))
-        if not out:  # dataset with zero eval users
+        if self._users_d.shape[0] == 0:  # dataset with zero eval users
             return np.zeros(0, dtype=np.int32)
-        pos = np.asarray(jnp.concatenate(out))
-        return pos[: len(self.users)]
+        pos = _positions_full_all(score_fn, params, self._tiled(self._users_d),
+                                  self._tiled(self._hists_d),
+                                  self._tiled(self._gt_d))
+        return np.asarray(pos)[: len(self.users)]
 
     def positions_factored(self, user_repr_fn: Callable, table_fn: Callable,
                            params, interpret: Optional[bool] = None) -> np.ndarray:
         """Rank positions via the fused Pallas counting kernel (models whose
-        scores factor as ``user_repr · item_table + bias``)."""
+        scores factor as ``user_repr · item_table + bias``); one dispatch
+        for all tiles."""
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
-        corr = self._corrections()
-        out = []
-        for users, hists, gt, s, e in self._tiles():
-            out.append(_positions_factored(
-                user_repr_fn, table_fn, params, users, hists, gt,
-                corr[s:e], interpret))
-        if not out:  # dataset with zero eval users
+        if self._users_d.shape[0] == 0:  # dataset with zero eval users
             return np.zeros(0, dtype=np.int32)
-        pos = np.asarray(jnp.concatenate(out))
-        return pos[: len(self.users)]
+        corr = self._corrections()
+        pos = _positions_factored_all(
+            user_repr_fn, table_fn, params, self._tiled(self._users_d),
+            self._tiled(self._hists_d), self._tiled(self._gt_d), interpret,
+            self._tiled(corr))
+        return np.asarray(pos)[: len(self.users)]
 
     def positions_sampled(self, score_some_fn: Callable, params) -> np.ndarray:
-        """Rank positions against the sampled negatives.
+        """Rank positions against the sampled negatives; one dispatch for
+        all tiles.
 
         ``score_some_fn(params, users[B], hists[B, L], items[B, M]) -> [B, M]``.
         """
         assert self._negs_d is not None, "dataset has no sampled negatives"
-        out = []
-        for users, hists, gt, s, e in self._tiles():
-            out.append(_positions_sampled(
-                score_some_fn, params, users, hists, gt, self._negs_d[s:e]))
-        if not out:  # dataset with zero eval users
+        if self._users_d.shape[0] == 0:  # dataset with zero eval users
             return np.zeros(0, dtype=np.int32)
-        pos = np.asarray(jnp.concatenate(out))
-        return pos[: len(self.users)]
+        pos = _positions_sampled_all(
+            score_some_fn, params, self._tiled(self._users_d),
+            self._tiled(self._hists_d), self._tiled(self._gt_d),
+            self._tiled(self._negs_d))
+        return np.asarray(pos)[: len(self.users)]
 
     def positions_sharded(self, model, params) -> np.ndarray:
         """Rank positions through the mesh-sharded evaluator (requires
@@ -260,12 +304,36 @@ class FullRankEvaluator:
             bias = jnp.pad(bias, (0, (-bias.shape[0]) % m))
         from jax.sharding import NamedSharding, PartitionSpec as P
         bias_shard = jax.device_put(bias, NamedSharding(self.mesh, P("model")))
+        if self._users_d.shape[0] == 0:
+            return np.zeros(0, dtype=np.int32)
+        if jax.process_count() == 1:
+            # single-process: all tiles in ONE dispatch — scan over the
+            # [n_tiles, B, ...] stacks with the per-tile shard_map inside
+            # (tile slices stay "data"-sharded through the scan)
+            fn_all = self._sharded_cache.get((user_repr_fn, "all"))
+            if fn_all is None:
+                @jax.jit
+                def fn_all(params, table_shard, bias_shard, u_t, h_t, g_t):
+                    def body(_, tile):
+                        u, h, g = tile
+                        return None, fn(params, table_shard, bias_shard,
+                                        u, h, g)
+                    _, pos = jax.lax.scan(body, None, (u_t, h_t, g_t))
+                    return pos.reshape(-1)
+                self._sharded_cache[(user_repr_fn, "all")] = fn_all
+            place = lambda x: jax.device_put(x, NamedSharding(
+                self.mesh, P(None, "data", *([None] * (x.ndim - 2)))))
+            pos = fn_all(params, table_shard, bias_shard,
+                         place(self._tiled(self._users_d)),
+                         place(self._tiled(self._hists_d)),
+                         place(self._tiled(self._gt_d)))
+            return np.asarray(pos)[: len(self.users)]
+        # multi-host: per-tile shard_batch keeps each host materializing
+        # only its local rows
         out = []
         for users, hists, gt, _, _ in self._tiles():
             users, hists, gt = shard_batch(self.mesh, (users, hists, gt))
             out.append(fn(params, table_shard, bias_shard, users, hists, gt))
-        if not out:
-            return np.zeros(0, dtype=np.int32)
         pos = np.asarray(jnp.concatenate(out))
         return pos[: len(self.users)]
 

@@ -67,6 +67,11 @@ class TrainConfig:
     shard_min_rows: int = 1024
 
 
+@jax.jit
+def _norms2(p, q):
+    return jnp.stack([jnp.linalg.norm(p), jnp.linalg.norm(q)])
+
+
 def _data_constrainer(mesh):
     """See :func:`acf_tpu.parallel.mesh.data_constrainer` (moved there so
     model-owned ``make_epoch_fn`` builders share the same hook)."""
@@ -483,6 +488,11 @@ class Trainer:
         p = src.get("P", src.get("user_emb")) if isinstance(src, dict) else None
         q = src.get("Q", src.get("item_emb", src.get("emb"))) \
             if isinstance(src, dict) else None
+        if p is not None and q is not None:
+            # one fused dispatch + one transfer (a float() per norm costs a
+            # ~15-20 ms round-trip each through the axon tunnel)
+            np_, nq = np.asarray(_norms2(p, q))
+            return float(np_), float(nq)
         np_ = float(jnp.linalg.norm(p)) if p is not None else 0.0
         nq = float(jnp.linalg.norm(q)) if q is not None else 0.0
         return np_, nq
