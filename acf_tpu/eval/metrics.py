@@ -12,12 +12,17 @@ are closed-form, so here they are vectorized over all users at once:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
 def metrics_from_position(position, num_negatives, K: int = 100):
     """Vectorized HR@1..K, NDCG@1..K, AUC from rank positions.
+
+    Computed in NUMPY on the host deliberately: positions are a [U] int32
+    download (~124 KB at Video scale) while the [U, K] hr/ndcg tables are
+    ~25 MB — computing them on device and downloading per evaluation costs
+    more in host↔device transfer (axon tunnel) than the trivial element
+    math saves.
 
     Args:
       position: [U] int — number of candidates scoring >= the held-out item
@@ -29,15 +34,16 @@ def metrics_from_position(position, num_negatives, K: int = 100):
       (hr, ndcg, auc): hr/ndcg are [U, K] float32, auc is [U] float32.
       Matches reference evaluation_adv.py:477-480 exactly.
     """
-    position = jnp.asarray(position)
-    num_negatives = jnp.asarray(num_negatives)
-    ks = jnp.arange(1, K + 1)  # [K]
+    position = np.asarray(position)
+    num_negatives = np.asarray(num_negatives)
+    ks = np.arange(1, K + 1)  # [K]
     hit = position[:, None] < ks[None, :]  # [U, K]
-    dcg = jnp.log(2.0) / jnp.log(position.astype(jnp.float32) + 2.0)  # [U]
-    hr = hit.astype(jnp.float32)
-    ndcg = jnp.where(hit, dcg[:, None], 0.0)
-    auc = 1.0 - position.astype(jnp.float32) / jnp.maximum(
-        num_negatives.astype(jnp.float32), 1.0)
+    with np.errstate(divide="ignore"):
+        dcg = np.log(2.0) / np.log(position.astype(np.float32) + 2.0)  # [U]
+    hr = hit.astype(np.float32)
+    ndcg = np.where(hit, dcg[:, None], 0.0).astype(np.float32)
+    auc = (1.0 - position.astype(np.float32) / np.maximum(
+        num_negatives.astype(np.float32), 1.0)).astype(np.float32)
     return hr, ndcg, auc
 
 
