@@ -42,9 +42,10 @@ def build_parser():
     p.add_argument("--train_dtype", default="float32",
                    choices=["bfloat16", "float32"],
                    help="SASRec train-path encoder compute dtype (eval is "
-                        "always f32). bf16 is +9%% on the clean T=50 step, "
-                        "quality-neutral on the seeds tested "
-                        "(docs/ROADMAP.md)")
+                        "always f32). bf16 is +9%% on the clean T=50 step; "
+                        "quality-neutral within seed noise for ASASRec, "
+                        "<=0.003 HR risk for clean SASRec over the 2 "
+                        "seed-pairs measured (docs/PARITY.md)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--adv_epoch", "--adv_epochs", dest="adv_epoch", type=int,
                    default=50,

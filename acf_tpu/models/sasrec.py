@@ -103,12 +103,12 @@ class SASRec(SequenceModel):
                             # (loss / FGSM linearization). "bfloat16" runs
                             # encoder activations/matmuls in bf16 with f32
                             # LayerNorm moments/softmax/loss head — measured
-                            # +9% on the clean T=50 step (docs/ROADMAP.md)
-                            # and quality-neutral on the seeds tested
-                            # (Video 2000-epoch runs, seed 2019: clean
-                            # SASRec 0.0846 bf16 vs 0.0851 f32; ASASRec
-                            # 0.0986 bf16 vs 0.0988 f32 — same-trajectory
-                            # spread is ~±0.001, docs/PARITY.md). f32 stays
+                            # +9% on the clean T=50 step (docs/ROADMAP.md).
+                            # Quality over 2 seed-pairs (docs/PARITY.md
+                            # bf16 table): neutral within seed noise for
+                            # ASASRec (−0.0002/−0.0006 HR); for clean
+                            # SASRec treat as ≤0.003 HR risk (seed-2020
+                            # pair −0.0026, ~1.4σ). f32 stays
                             # the default so quality claims rest on exact
                             # math; bf16 is the measured opt-in
                             # (--train_dtype bfloat16). Eval/serving always

@@ -143,9 +143,9 @@ def main():
     adv_xla = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
                      reg_adv=1.0)
     # bf16 train-path A/B partners (the production default is f32; bf16 is
-    # the measured +9%-clean-step opt-in, quality-neutral on the seeds
-    # tested — see docs/ROADMAP.md; an earlier "quality-negative" reading
-    # mis-attributed trajectory variance and was retracted)
+    # the measured +9%-clean-step opt-in — quality calibration over 2
+    # seed-pairs in docs/PARITY.md: neutral for ASASRec, ≤0.003 HR risk
+    # for clean SASRec)
     clean_bf16 = SASRec(U, I, D, maxlen=MAXLEN, train_dtype="bfloat16")
     adv_bf16 = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
                       reg_adv=1.0, train_dtype="bfloat16")
