@@ -151,8 +151,12 @@ class SASRec(SequenceModel):
         return jnp.dtype(self.train_dtype)
 
     def _pack(self, b: int, t: int) -> int:
-        """Users packed per attention tile (1 = unpacked)."""
-        if self.pack_attention != "always" or self.num_heads != 1 or t < 32:
+        """Users packed per attention tile (1 = unpacked). Any t with
+        ⌊128/t⌋ ≥ 2 can pack (round 3 relaxed the old t ≥ 32 gate: the
+        T=8 parity geometry packs 16 users per tile — 8/128 lanes → full
+        tiles — and was never measured before)."""
+        if self.pack_attention != "always" or self.num_heads != 1 \
+                or 128 // t < 2:
             return 1
         p = 128 // t
         while p > 1 and b % p:

@@ -179,7 +179,18 @@ def main():
                          train_dtype="bfloat16")
     adv_bf16k = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
                        reg_adv=1.0, fused="always", train_dtype="bfloat16")
+    # packed block-diagonal attention (r3: the t>=32 gate removed — at the
+    # T=8 parity geometry 16 users fill one 128-wide MXU tile)
+    clean_pk = SASRec(U, I, D, maxlen=MAXLEN, pack_attention="always")
+    adv_pk = SASRec(U, I, D, maxlen=MAXLEN, adversarial=True, eps=0.5,
+                    reg_adv=1.0, pack_attention="always")
     variants += [
+        ("sasrec-xla-packed", make_epoch(clean_pk, adam, "train"),
+         clean_pk, adam),
+        ("asasrec-xla-packed", make_epoch(adv_pk, adam, "train"),
+         adv_pk, adam),
+        ("sasrec-fwd-xla-packed", make_epoch(clean_pk, adam, "fwd"),
+         clean_pk, adam),
         ("sasrec-bf16k", make_epoch(clean_bf16k, adam, "train"),
          clean_bf16k, adam),
         ("asasrec-bf16k", make_epoch(adv_bf16k, adam, "train"),

@@ -214,7 +214,7 @@ def test_packed_attention_matches_unpacked():
     logits are -2³²: exp underflows to exactly 0), so encode AND loss grads
     must match the unpacked model to float tolerance; dropout draws differ
     by design (packed mask shape), so compare with dropout off."""
-    U, I, d, t = 30, 40, 16, 32  # t>=32 engages packing (pack=4)
+    U, I, d, t = 30, 40, 16, 32  # pack=4 at t=32
     mp = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
                 pack_attention="always")
     mu = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
@@ -247,6 +247,45 @@ def test_packed_attention_matches_unpacked():
         params, batch, key)
     assert np.isfinite(float(ld))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(gd))
+
+
+def test_packed_attention_matches_unpacked_t8():
+    """The T=8 parity geometry packs 16 users per 128-wide tile (round 3
+    relaxed the t>=32 gate); encode + loss grads must match the unpacked
+    path to float tolerance, including padded prefixes."""
+    U, I, d, t = 30, 40, 16, 8
+    mp = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
+                pack_attention="always")
+    mu = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, train_dtype="float32",
+                pack_attention="never")
+    assert mp._pack(32, t) == 16
+    params = mp.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    seq = jnp.asarray(rng.integers(0, I, (32, t)), jnp.int32)
+    seq = seq.at[0, :5].set(0).at[3, :].set(0)  # padded prefix + empty row
+    np.testing.assert_allclose(np.asarray(mp.encode(params, seq)),
+                               np.asarray(mu.encode(params, seq)),
+                               rtol=1e-6, atol=1e-6)
+    pos = jnp.asarray(rng.integers(1, I, (32, t)), jnp.int32)
+    neg = jnp.asarray(rng.integers(1, I, (32, t)), jnp.int32)
+    batch = (jnp.arange(1, 33, dtype=jnp.int32), seq, pos, neg)
+    key = jax.random.PRNGKey(1)
+    (lp, _), gp = jax.value_and_grad(mp.loss, has_aux=True)(params, batch, key)
+    (lu, _), gu = jax.value_and_grad(mu.loss, has_aux=True)(params, batch, key)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # the adversarial (FGSM) objective matches too — the packed encoder
+    # sits inside the linearization point
+    ap = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, adversarial=True,
+                eps=0.5, reg_adv=1.0, pack_attention="always")
+    au = SASRec(U, I, d, maxlen=t, dropout_rate=0.0, adversarial=True,
+                eps=0.5, reg_adv=1.0, pack_attention="never")
+    (la, _), ga = jax.value_and_grad(ap.loss, has_aux=True)(params, batch, key)
+    (lb, _), gb = jax.value_and_grad(au.loss, has_aux=True)(params, batch, key)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
 def test_bf16_train_path_close_to_f32_and_eval_unaffected():
