@@ -321,12 +321,18 @@ class FullRankEvaluator:
                     _, pos = jax.lax.scan(body, None, (u_t, h_t, g_t))
                     return pos.reshape(-1)
                 self._sharded_cache[(user_repr_fn, "all")] = fn_all
-            place = lambda x: jax.device_put(x, NamedSharding(
-                self.mesh, P(None, "data", *([None] * (x.ndim - 2)))))
-            pos = fn_all(params, table_shard, bias_shard,
-                         place(self._tiled(self._users_d)),
+            tiles = self._sharded_cache.get("tiles")
+            if tiles is None:
+                # the tile stacks are static across evaluations — place
+                # them on the mesh once, not per eval (device_put of the
+                # [n_tiles, B, L] history stack is a real resharding copy)
+                place = lambda x: jax.device_put(x, NamedSharding(
+                    self.mesh, P(None, "data", *([None] * (x.ndim - 2)))))
+                tiles = (place(self._tiled(self._users_d)),
                          place(self._tiled(self._hists_d)),
                          place(self._tiled(self._gt_d)))
+                self._sharded_cache["tiles"] = tiles
+            pos = fn_all(params, table_shard, bias_shard, *tiles)
             return np.asarray(pos)[: len(self.users)]
         # multi-host: per-tile shard_batch keeps each host materializing
         # only its local rows

@@ -63,6 +63,8 @@ def mesh_from_spec(spec: str) -> Mesh:
     :func:`ensure_virtual_devices`)."""
     parts = spec.lower().replace("×", "x").split("x")
     try:
+        if len(parts) > 2:
+            raise ValueError(spec)
         num_data = int(parts[0])
         num_model = int(parts[1]) if len(parts) > 1 else 1
     except (ValueError, IndexError):

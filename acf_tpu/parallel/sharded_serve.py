@@ -43,24 +43,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from acf_tpu.ops.topk import NEG, _rec_fn
 
 
-def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
-                           k: int = 10):
-    """Build the sharded top-K function for dot-factored models
-    (scores = ``user_repr(params, users, hists) @ table.T + bias``).
-
-    Returns ``rec(params, table_shard, bias_shard, users, hists)
-    -> (scores [B, k], items [B, k])`` sorted descending, where
-
-      * ``params`` is replicated (user tower / encoder weights);
-      * ``table_shard`` is the item table placed with
-        :func:`acf_tpu.parallel.sharded_embedding.shard_table` (row-sharded
-        over "model", zero-padded to a multiple of the axis size — padded
-        rows are masked out here via ``num_items``);
-      * ``bias_shard`` is a per-item bias sharded ``P("model")`` (zeros for
-        bias-free models);
-      * ``users [B] / hists [B, L]`` are sharded over "data" (``B``
-        divisible by the data-axis size).
-    """
+def _make_inner(mesh: Mesh, user_repr_fn, num_items: int, k: int):
+    """The shard_map'd per-batch body shared by the single-batch and bulk
+    paths: per-model-shard local top-K, returned shard-major as a global
+    [B, m·kl] candidate matrix (merge happens OUTSIDE the manual region)."""
     m = mesh.shape["model"]
     il = (num_items + (-num_items) % m) // m  # padded local shard width
     kl = min(k, il)  # per-shard top-K never exceeds the shard width
@@ -90,13 +76,34 @@ def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
         s, idx = jax.lax.top_k(scores, kl)                    # local top-K
         return s, gids[idx]                                   # [Bl, kl] each
 
-    inner = shard_map(
+    return shard_map(
         local_candidates, mesh=mesh,
         in_specs=(P(), P("model", None), P("model"),
                   P("data"), P("data", None)),
         # concatenate the m shards' candidate blocks shard-major along the
         # candidate axis: global [B, m*kl], ascending global id per tie rank
         out_specs=(P("data", "model"), P("data", "model")))
+
+
+def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
+                           k: int = 10):
+    """Build the sharded top-K function for dot-factored models
+    (scores = ``user_repr(params, users, hists) @ table.T + bias``).
+
+    Returns ``rec(params, table_shard, bias_shard, users, hists)
+    -> (scores [B, k], items [B, k])`` sorted descending, where
+
+      * ``params`` is replicated (user tower / encoder weights);
+      * ``table_shard`` is the item table placed with
+        :func:`acf_tpu.parallel.sharded_embedding.shard_table` (row-sharded
+        over "model", zero-padded to a multiple of the axis size — padded
+        rows are masked out here via ``num_items``);
+      * ``bias_shard`` is a per-item bias sharded ``P("model")`` (zeros for
+        bias-free models);
+      * ``users [B] / hists [B, L]`` are sharded over "data" (``B``
+        divisible by the data-axis size).
+    """
+    inner = _make_inner(mesh, user_repr_fn, num_items, k)
 
     @jax.jit
     def rec(params, table_shard, bias_shard, users, hists):
@@ -107,6 +114,80 @@ def make_sharded_recommend(mesh: Mesh, user_repr_fn, num_items: int,
         return fs, jnp.take_along_axis(i_all, fidx, axis=1)
 
     return rec
+
+
+def sharded_recommend_bulk(mesh: Mesh, model, params, data, users,
+                           k: int = 10, batch_users: int = 512):
+    """Bulk sharded serving: the whole request runs as ONE device program
+    (``lax.map`` over user batches, each batch through the shard_map
+    local-top-K + merge) — the mesh analog of ``ops.topk.recommend``'s
+    bulk mode (≥4-batch requests there measured 4.2× the per-batch
+    dispatch path; the same dispatch economics apply here, see
+    docs/DESIGN.md "Dispatch economics").
+
+    ``data`` is the :class:`Interactions` dataset (history table is placed
+    replicated on the mesh once and cached on it). Requests are padded
+    with user 0 (pad row) to a multiple of ``batch_users`` and the pad
+    rows sliced off. ``batch_users`` is rounded up to divide the data-axis
+    size. Returns numpy ``(scores [n, k], items [n, k])`` identical to the
+    per-batch sharded path."""
+    import numpy as np
+
+    from acf_tpu.parallel.sharded_embedding import shard_table
+
+    fs = model.factored_scorer()
+    if fs is None:
+        raise ValueError(f"{type(model).__name__} has no factored scorer")
+    user_repr_fn, table_fn = fs
+    batch_users += (-batch_users) % mesh.shape["data"]
+
+    users = np.asarray(users, dtype=np.int32)
+    n = len(users)
+    nb = max(-(-n // batch_users), 1)
+    up = np.zeros(nb * batch_users, dtype=np.int32)
+    up[:n] = users
+
+    table, bias = table_fn(params)
+    table_shard = shard_table(mesh, table)
+    if bias is None:
+        bias = jnp.zeros((table.shape[0],), table.dtype)
+    pad = (-bias.shape[0]) % mesh.shape["model"]
+    if pad:
+        bias = jnp.pad(bias, (0, pad))
+    bias_shard = jax.device_put(bias, NamedSharding(mesh, P("model")))
+
+    # history table replicated on the mesh once, cached on the dataset
+    hist = getattr(data, "_hist_mesh", None)
+    if hist is None or hist[0] is not mesh:
+        hist = (mesh, jax.device_put(
+            jnp.asarray(data.hist), NamedSharding(mesh, P())))
+        try:
+            data._hist_mesh = hist
+        except AttributeError:
+            pass
+    hist_all = hist[1]
+
+    def build():
+        inner = _make_inner(mesh, user_repr_fn, model.num_items, k)
+
+        @jax.jit
+        def fn(params, table_shard, bias_shard, users_all, hist_all):
+            def one(ub):
+                s_all, i_all = inner(params, table_shard, bias_shard,
+                                     ub, hist_all[ub])
+                fs_, fidx = jax.lax.top_k(s_all, k)
+                return fs_, jnp.take_along_axis(i_all, fidx, axis=1)
+            return jax.lax.map(one, users_all)
+        return fn
+
+    users_all = jax.device_put(
+        jnp.asarray(up.reshape(nb, batch_users)),
+        NamedSharding(mesh, P(None, "data")))
+    sc, it = _rec_fn(
+        model, ("sharded-bulk", mesh, k, model.num_items, batch_users, nb),
+        build)(params, table_shard, bias_shard, users_all, hist_all)
+    return (np.asarray(sc).reshape(-1, k)[:n],
+            np.asarray(it).reshape(-1, k)[:n])
 
 
 def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,

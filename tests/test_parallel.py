@@ -595,3 +595,34 @@ def test_sparse_step_refuses_mesh(mesh):
         Trainer(SparseMFBPR(data.num_users, data.num_items, 8),
                 data, optax.adagrad(0.05),
                 TrainConfig(batch_size=32, verbose=10**9, mesh=mesh))
+
+
+def test_sharded_recommend_bulk_matches_single_device(mesh):
+    """Bulk sharded serving (ONE device program: lax.map over user batches,
+    shard_map local-top-K + merge inside) must reproduce the single-device
+    bulk recommend() exactly — ids equal, scores to accumulation noise —
+    including request padding (n not a multiple of batch_users)."""
+    import optax
+
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.ops.topk import recommend
+    from acf_tpu.parallel.sharded_serve import sharded_recommend_bulk
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=47)
+    model = MFBPR(data.num_users, data.num_items, 8)
+    params = model.init_params(jax.random.PRNGKey(5))
+    users = data.eval_users()[:37]  # 37 users, batch 8 -> 5 batches, ragged
+    ws, wi = recommend(model, params, data, users, k=5, batch_users=8)
+    with mesh:
+        gs, gi = sharded_recommend_bulk(mesh, model, params, data, users,
+                                        k=5, batch_users=8)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                               rtol=1e-6, atol=1e-7)
+    # repeated call hits the per-model program cache
+    assert any(isinstance(kk, tuple) and kk[0] == "sharded-bulk"
+               for kk in model._rec_fns)
+    gs2, gi2 = sharded_recommend_bulk(mesh, model, params, data, users,
+                                      k=5, batch_users=8)
+    np.testing.assert_array_equal(np.asarray(gi2), np.asarray(gi))
