@@ -37,7 +37,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--verbose", type=int, default=25)
     ap.add_argument("--opath", default="out/sweep/")
-    args = ap.parse_args()
+    # anything after the known flags is forwarded to the CLI verbatim —
+    # e.g. `--maxlen 8` for the Video protocol geometry (the CLI default
+    # is 50; round 3 found the r1 asasrec2 sweep ran without this and was
+    # therefore a maxlen-50 sweep — see docs/PARITY.md)
+    args, extra = ap.parse_known_args()
 
     results = []
     for model in args.models.split(","):
@@ -46,6 +50,7 @@ def main():
                     "--epochs", str(args.epochs),
                     "--adv_epoch", str(args.epochs // 2),
                     "--verbose", str(args.verbose), "--opath", args.opath]
+            argv += extra
             for k, v in combo.items():
                 argv += [f"--{k}", v]
             print("===", model, combo, flush=True)
