@@ -45,6 +45,14 @@ class APL(PairwiseModel):
     # p_aux mixture consumes hist semantically (not just for rejection) —
     # the trainer must not truncate it via membership_len
     uses_full_hist = True
+    # multi-epoch fused dispatch OFF: scanning this epoch program (two
+    # full-catalog softmax/gumbel scans per epoch) over a 25-epoch block
+    # reproducibly crashed the TPU worker ("kernel fault", axon runtime,
+    # round-3 zoo re-run — twice, while the single-epoch program and every
+    # other model's fused blocks run fine). Until the miscompile is
+    # isolated, the trainer falls back to one dispatch per epoch for APL
+    # (the round-1 behavior; out/r3/zoo_apl.log records the crash).
+    fuse_epochs = False
 
     def __post_init__(self):
         if self.loss_function not in ("log", "wgan", "hinge"):

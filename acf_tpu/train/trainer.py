@@ -396,8 +396,13 @@ class Trainer:
         # run each inter-eval block of epochs as ONE device dispatch
         # (run_epochs) — the per-dispatch fixed cost is ~15-20 ms through
         # the axon tunnel vs ~100 ms of compute per ml-1m-scale epoch.
+        # models can opt out of multi-epoch fusion (fuse_epochs = False):
+        # APL's 25-epoch fused scan reproducibly crashed the TPU worker
+        # ("kernel fault", r3 zoo re-run) while its single-epoch program is
+        # fine — see models/apl.py
         fuse = ((cfg.verbose or 0) > 1 and not cfg.save_model_path
-                and not (cfg.ckpt_every and cfg.ckpt_path))
+                and not (cfg.ckpt_every and cfg.ckpt_path)
+                and getattr(self.model, "fuse_epochs", True))
         epoch = epoch_start
         while epoch < epochs:
             if fuse:

@@ -257,3 +257,37 @@ def test_use_window_loss_instance_switch():
     # and an untouched second instance still uses the window path
     m2 = SASRec(data.num_users, data.num_items, 8, maxlen=6, num_blocks=1)
     assert getattr(m2, "use_window_loss", True)
+
+
+def test_fuse_epochs_opt_out():
+    """Models can refuse multi-epoch fused dispatch (fuse_epochs = False —
+    APL's 25-epoch fused scan crashed the TPU worker, models/apl.py): fit()
+    must then run one dispatch per epoch."""
+    from acf_tpu.models.apl import APL
+
+    data = synthetic_data(seed=11)
+    model = APL(data.num_users, data.num_items, 8)
+    tr = Trainer(model, data, optax.sgd(0.05),
+                 TrainConfig(batch_size=32, verbose=5))
+    calls = []
+    orig = tr.run_epochs
+
+    def spy(n):
+        calls.append(n)
+        return orig(n)
+    tr.run_epochs = spy
+    tr.fit(epochs=6)
+    assert calls and all(n == 1 for n in calls), calls
+
+    # a default model still fuses the inter-eval block
+    tr2 = Trainer(MFBPR(data.num_users, data.num_items, 8), data,
+                  optax.adagrad(0.05), TrainConfig(batch_size=32, verbose=5))
+    calls2 = []
+    orig2 = tr2.run_epochs
+
+    def spy2(n):
+        calls2.append(n)
+        return orig2(n)
+    tr2.run_epochs = spy2
+    tr2.fit(epochs=6)
+    assert max(calls2) > 1, calls2
