@@ -335,7 +335,11 @@ class FullRankEvaluator:
             pos = fn_all(params, table_shard, bias_shard, *tiles)
             return np.asarray(pos)[: len(self.users)]
         # multi-host: per-tile shard_batch keeps each host materializing
-        # only its local rows
+        # only its local rows.
+        # UNTESTED ON REAL HARDWARE: requires jax.process_count() > 1,
+        # which a single-process image cannot produce — only the underlying
+        # host_sharded_array wiring is covered (mocked-process tests in
+        # tests/test_parallel.py), not this loop.
         out = []
         for users, hists, gt, _, _ in self._tiles():
             users, hists, gt = shard_batch(self.mesh, (users, hists, gt))

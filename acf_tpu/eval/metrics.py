@@ -39,7 +39,11 @@ def metrics_from_position(position, num_negatives, K: int = 100):
     ks = np.arange(1, K + 1)  # [K]
     hit = position[:, None] < ks[None, :]  # [U, K]
     with np.errstate(divide="ignore"):
-        dcg = np.log(2.0) / np.log(position.astype(np.float32) + 2.0)  # [U]
+        # all-f32 arithmetic: np.log(2.0) is a float64 scalar that would
+        # promote the quotient under NEP 50 and shift NDCG by an ulp vs the
+        # device (f32) path — keep bit-stability with prior versions
+        dcg = (np.float32(np.log(2.0))
+               / np.log(position.astype(np.float32) + np.float32(2.0)))  # [U]
     hr = hit.astype(np.float32)
     ndcg = np.where(hit, dcg[:, None], 0.0).astype(np.float32)
     auc = (1.0 - position.astype(np.float32) / np.maximum(

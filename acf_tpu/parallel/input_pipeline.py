@@ -31,7 +31,11 @@ def host_sharded_array(mesh: Mesh, global_data: np.ndarray,
         return jax.device_put(jnp.asarray(global_data), sharding)
     # each process contributes its slice of the leading dim; pad the tail
     # (wrapping the first rows) so a non-divisible dataset never silently
-    # drops its last n % process_count examples
+    # drops its last n % process_count examples.
+    # UNTESTED ON REAL HARDWARE: this branch needs process_count > 1 (a
+    # multi-host pod slice); tests/test_parallel.py exercises it with
+    # jax.process_count/make_array_from_process_local_data mocked, which
+    # validates the slice math and call wiring but not the runtime path.
     local, padded_n = process_local_rows(
         global_data, jax.process_count(), jax.process_index())
     return jax.make_array_from_process_local_data(

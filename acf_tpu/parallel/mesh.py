@@ -67,11 +67,29 @@ def mesh_from_spec(spec: str) -> Mesh:
             raise ValueError(spec)
         num_data = int(parts[0])
         num_model = int(parts[1]) if len(parts) > 1 else 1
+        if num_data < 1 or num_model < 1:
+            raise ValueError(spec)
     except (ValueError, IndexError):
         raise ValueError(
-            f"--mesh expects DATAxMODEL (e.g. 4x2) or N, got {spec!r}")
+            f"--mesh expects DATAxMODEL (e.g. 4x2) or N with positive "
+            f"sizes, got {spec!r}")
     n = num_data * num_model
     if len(jax.devices()) < n:
+        # Falling back to virtual CPU devices silently *moves the whole run
+        # off the accelerator* — make that impossible to miss (round-3
+        # advisor finding), and refusable for production launchers.
+        import os
+        import sys
+
+        msg = (f"acf_tpu: --mesh {spec} needs {n} devices but only "
+               f"{len(jax.devices())} real device(s) exist — falling back "
+               f"to {n} VIRTUAL CPU devices. The entire run will execute "
+               "on CPU, not the accelerator. Set ACF_TPU_NO_VIRTUAL_MESH=1 "
+               "to make this an error.")
+        if os.environ.get("ACF_TPU_NO_VIRTUAL_MESH"):
+            raise RuntimeError(msg)
+        print("=" * 72 + f"\nWARNING: {msg}\n" + "=" * 72,
+              file=sys.stderr, flush=True)
         ensure_virtual_devices(n)
     return make_mesh(num_data=num_data, num_model=num_model,
                      devices=jax.devices()[:n])

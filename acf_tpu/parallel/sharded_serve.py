@@ -183,8 +183,11 @@ def sharded_recommend_bulk(mesh: Mesh, model, params, data, users,
     users_all = jax.device_put(
         jnp.asarray(up.reshape(nb, batch_users)),
         NamedSharding(mesh, P(None, "data")))
+    # cache key deliberately excludes nb: the jitted fn re-specializes on
+    # users_all's leading dim anyway, and keying on it would leak one cache
+    # entry per distinct request count (round-3 advisor finding)
     sc, it = _rec_fn(
-        model, ("sharded-bulk", mesh, k, model.num_items, batch_users, nb),
+        model, ("sharded-bulk", mesh, k, model.num_items, batch_users),
         build)(params, table_shard, bias_shard, users_all, hist_all)
     return (np.asarray(sc).reshape(-1, k)[:n],
             np.asarray(it).reshape(-1, k)[:n])

@@ -360,7 +360,11 @@ class Trainer:
         state = load_params(path, like)
         self.params = state["params"]
         self.opt_state = state["opt"]
-        self.key = jnp.asarray(state["key"])
+        # through-host copy: the orbax backend returns the key COMMITTED to
+        # its restore device, which a jitted step would then refuse to mix
+        # with mesh-placed params ("incompatible devices") — a fresh
+        # trainer's key is uncommitted, so make the restored one match
+        self.key = jnp.asarray(np.asarray(state["key"]))
 
     def load_pretrain(self, path: str):
         """Copy matching leaves from a checkpoint into the current params —

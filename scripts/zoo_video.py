@@ -21,9 +21,13 @@ import optax  # noqa: E402
 from acf_tpu.adversarial import PopularityAdversarial  # noqa: E402
 from acf_tpu.data import load_dataset  # noqa: E402
 from acf_tpu.models import (  # noqa: E402
-    APL, DRCF, DREAM, IRGAN, MFBPR, Caser, GRU4Rec, MostPopular, NeuMF,
-    PointwiseMF,
+    APL, DRCF, DREAM, IRGAN, MFBPR, AlreadyVisit, Caser, GRU4Rec,
+    MostFrequentlyVisit, MostPopular, MostRecentlyVisit, NeuMF, PointwiseMF,
 )
+
+# score-table baselines: one no-op epoch, like the reference's early break
+# (run.py:275-276)
+NAIVE = ("pop", "mrv", "mfv", "av")
 from acf_tpu.train import TrainConfig, Trainer  # noqa: E402
 from acf_tpu.utils.io import OutputWriter  # noqa: E402
 
@@ -53,8 +57,20 @@ def build(name, data, maxlen):
         return IRGAN(U, I, 64), optax.sgd(0.001)
     if name == "apl":
         return APL(U, I, 64), optax.sgd(0.05)
+    if name == "dsin":
+        from acf_tpu.models.dsin import DSIN
+        # Video mean history ≈ 9 items → 2 sessions of 4 keeps the whole
+        # protocol window (maxlen 8) while still exercising the
+        # session-evolution GRU across >1 session
+        return DSIN(U, I, 64, sess_count=2, sess_len=4), adam
     if name == "pop":
         return MostPopular(U, I, 64, data=data), adam
+    if name == "mrv":
+        return MostRecentlyVisit(U, I, 64, data=data), adam
+    if name == "mfv":
+        return MostFrequentlyVisit(U, I, 64, data=data), adam
+    if name == "av":
+        return AlreadyVisit(U, I, 64, data=data), adam
     raise ValueError(name)
 
 
@@ -63,8 +79,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--verbose", type=int, default=25)
     ap.add_argument("--models", type=str,
-                    default="pop,mf,neumf,amf,abpr,gru4rec,dream,caser,drcf,"
-                            "irgan,apl")
+                    default="pop,mrv,mfv,av,mf,neumf,amf,abpr,gru4rec,dream,"
+                            "caser,drcf,dsin,irgan,apl")
     ap.add_argument("--out", type=str, default="out/zoo/")
     args = ap.parse_args()
 
@@ -74,7 +90,7 @@ def main():
     for name in args.models.split(","):
         print(f"=== {name} ===", flush=True)
         model, opt = build(name, data, maxlen)
-        epochs = 1 if name == "pop" else args.epochs
+        epochs = 1 if name in NAIVE else args.epochs
         cfg = TrainConfig(batch_size=512, epochs=epochs, verbose=args.verbose)
         t0 = time.time()
         tr = Trainer(model, data, opt, cfg,

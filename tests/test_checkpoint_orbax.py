@@ -95,6 +95,97 @@ def test_fit_periodic_orbax_snapshots(tmp_path):
     assert (tmp_path / "ck-2").is_dir()
 
 
+def _mesh_trainer(data, opt, mesh):
+    m = MFBPR(data.num_users, data.num_items, 8, adversarial=True,
+              eps=0.5, reg_adv=1.0)
+    return Trainer(m, data, opt,
+                   TrainConfig(batch_size=32, verbose=10 ** 9,
+                               ckpt_backend="orbax", mesh=mesh,
+                               shard_min_rows=1))
+
+
+def test_orbax_mesh_roundtrip_cross_topology(tmp_path):
+    """The checkpoint.py sharding claims, test-locked (VERDICT r3 #3): a
+    train state whose tables are genuinely row-sharded over an 8-device
+    (2 data × 4 model) mesh saves through the orbax backend and restores
+    bit-exactly onto (a) the same mesh, (b) a single device, (c) a 4-device
+    (2×2) mesh — per-user eval metrics identical each way, and the same-mesh
+    restore continues training bit-exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from acf_tpu.parallel.mesh import make_mesh
+
+    data = synthetic_data(seed=7)
+    opt = optax.adagrad(0.05, initial_accumulator_value=0.1)
+    mesh8 = make_mesh(num_data=2, num_model=4, devices=jax.devices()[:8])
+
+    a = _mesh_trainer(data, opt, mesh8)
+    a.run_epoch()
+    # precondition: the state being saved really is sharded, not silently
+    # replicated — P (60 users, 60 % 4 == 0) row-sharded, Q (37 items, not
+    # divisible by 4) through the Megatron-style column fallback, so the
+    # round-trip covers BOTH layouts
+    assert a.params["P"].sharding.spec == P("model", None)
+    assert a.params["Q"].sharding.spec == P(None, "model")
+    ck = str(tmp_path / "mesh_state")
+    a.save_checkpoint(ck)
+    ref = a.evaluate()
+
+    # (a) same mesh: params + opt slots bit-exact, training continues
+    # bit-exactly
+    b = _mesh_trainer(data, opt, mesh8)
+    b.restore_checkpoint(ck)
+    assert b.params["P"].sharding.spec == P("model", None)
+    _trees_equal(a.params, b.params)
+    _trees_equal(a.opt_state, b.opt_state)
+    a.run_epoch()
+    b.run_epoch()
+    _trees_equal(a.params, b.params)
+
+    # (b) 8-device save → single-device restore
+    c = _mesh_trainer(data, opt, None)
+    c.restore_checkpoint(ck)
+    res_c = c.evaluate()
+    assert np.array_equal(ref.hr, res_c.hr)
+    assert np.array_equal(ref.ndcg, res_c.ndcg)
+
+    # (c) 8-device save → 4-device (2×2) mesh restore
+    mesh4 = make_mesh(num_data=2, num_model=2, devices=jax.devices()[:4])
+    d = _mesh_trainer(data, opt, mesh4)
+    d.restore_checkpoint(ck)
+    assert d.params["P"].sharding.spec == P("model", None)
+    assert d.params["P"].sharding.mesh.shape["model"] == 2
+    res_d = d.evaluate()
+    assert np.array_equal(ref.hr, res_d.hr)
+    assert np.array_equal(ref.ndcg, res_d.ndcg)
+
+
+def test_orbax_single_device_save_restores_onto_mesh(tmp_path):
+    """The reverse topology change: a single-device orbax snapshot restores
+    onto an 8-device mesh with the mesh trainer's own (row-sharded)
+    placement, and evaluates identically."""
+    from jax.sharding import PartitionSpec as P
+
+    from acf_tpu.parallel.mesh import make_mesh
+
+    data = synthetic_data(seed=8)
+    opt = optax.adagrad(0.05, initial_accumulator_value=0.1)
+    a = _mesh_trainer(data, opt, None)
+    a.run_epoch()
+    ck = str(tmp_path / "flat_state")
+    a.save_checkpoint(ck)
+    ref = a.evaluate()
+
+    mesh8 = make_mesh(num_data=2, num_model=4, devices=jax.devices()[:8])
+    b = _mesh_trainer(data, opt, mesh8)
+    b.restore_checkpoint(ck)
+    assert b.params["P"].sharding.spec == P("model", None)
+    _trees_equal(a.params, b.params)
+    res_b = b.evaluate()
+    assert np.array_equal(ref.hr, res_b.hr)
+    assert np.array_equal(ref.ndcg, res_b.ndcg)
+
+
 def test_async_snapshotter_context_manager(tmp_path):
     tree = {"x": np.full(3, 7.0, np.float32)}
     with AsyncSnapshotter() as snap:
