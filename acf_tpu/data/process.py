@@ -63,8 +63,10 @@ def leave_one_out_split(df: pd.DataFrame):
 
 
 def write_rating_files(df: pd.DataFrame, out_dir: str, name: str,
-                       reindex: bool = True, dedup=False) -> None:
-    """Produce ``<name>.train.rating`` / ``<name>.test.rating``.
+                       reindex: bool = True, dedup=False,
+                       num_negatives: int = 0, seed: int = 2019) -> None:
+    """Produce ``<name>.train.rating`` / ``<name>.test.rating`` (and, with
+    ``num_negatives > 0``, the matching ``<name>.test.negative``).
 
     ``dedup``: False = keep every interaction (``-sort``); True or
     ``"pairs"`` = the reference's ``-sort-dup`` (global first-occurrence
@@ -90,3 +92,41 @@ def write_rating_files(df: pd.DataFrame, out_dir: str, name: str,
                        sep="\t", header=False, index=False)
     test[cols].to_csv(os.path.join(out_dir, f"{name}.test.rating"),
                       sep="\t", header=False, index=False)
+    if num_negatives:
+        write_negative_file(train, test, out_dir, name,
+                            num_negatives=num_negatives, seed=seed)
+
+
+def write_negative_file(train: pd.DataFrame, test: pd.DataFrame,
+                        out_dir: str, name: str, num_negatives: int = 100,
+                        seed: int = 2019) -> None:
+    """Write the HeDataset ``<name>.test.negative`` format the sampled-eval
+    protocol consumes (reference Dataset.py:161-172; loaded back by
+    ``datasets._load_negative_file``): one line per test user in test-file
+    order, ``(u,gt)`` head field, then ``num_negatives`` tab-separated item
+    ids sampled uniformly (without replacement) from the items the user
+    never interacted with. Ids are written raw (0-based); the presplit
+    loader applies its +1 pad shift on read, same as for the rating files.
+    """
+    num_items = int(max(train["iid"].max(), test["iid"].max())) + 1
+    seen = {u: set(g) for u, g in train.groupby("uid")["iid"]}
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{name}.test.negative"), "w") as f:
+        for u, gt in zip(test["uid"].values, test["iid"].values):
+            banned = seen.get(u, set()) | {int(gt)}
+            if num_items - len(banned) < num_negatives:
+                raise ValueError(
+                    f"user {u}: only {num_items - len(banned)} candidate "
+                    f"negatives for {num_negatives} requested")
+            negs = []
+            while len(negs) < num_negatives:
+                draw = rng.integers(0, num_items, size=2 * num_negatives)
+                for i in draw.tolist():  # sequential: no within-batch dupes
+                    if i not in banned:
+                        negs.append(i)
+                        banned.add(i)
+                        if len(negs) == num_negatives:
+                            break
+            f.write("(%d,%d)\t%s\n" % (
+                u, gt, "\t".join(str(i) for i in negs)))

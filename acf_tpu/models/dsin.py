@@ -40,6 +40,12 @@ class DSIN(SequenceModel):
     sess_count: int = 5   # S sessions ...
     sess_len: int = 10    # ... of Ls items; maxlen is forced to S*Ls
     num_heads: int = 1
+    # capacity control — without these the DNN head memorizes a sparse
+    # catalog in tens of epochs (round-4 Video zoo run: train ACC → 1.0 by
+    # epoch 50 while HR@10 halves). Dropout on the DNN hidden layers
+    # (train-time only) + L2 on the embedding rows a batch touches.
+    dropout: float = 0.3
+    l2_emb: float = 1e-4
 
     eval_batch_users = 128
     _item_chunk = 2048
@@ -119,8 +125,10 @@ class DSIN(SequenceModel):
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("b...s,bsd->b...d", probs, interests)
 
-    def _head(self, params, users, interests, items):
-        """Score ``items`` [B, M] given precomputed session interests."""
+    def _head(self, params, users, interests, items, drop_key=None):
+        """Score ``items`` [B, M] given precomputed session interests.
+        ``drop_key`` enables train-time dropout on the DNN hidden layers
+        (inference passes None → deterministic)."""
         raw, evolved, sess_mask = interests
         item_e = params["item_emb"][items]  # [B, M, d]
         u_raw = self._activation_pool(raw, sess_mask, params["act_w1"], item_e)
@@ -128,17 +136,27 @@ class DSIN(SequenceModel):
         u_e = jnp.broadcast_to(params["user_emb"][users][:, None, :],
                                item_e.shape)
         vec = jnp.concatenate([u_e, item_e, u_raw, u_ev], axis=-1)
-        h = jax.nn.relu(dense(params["dnn1"], vec))
-        h = jax.nn.relu(dense(params["dnn2"], h))
-        h = jax.nn.relu(dense(params["dnn3"], h))
+
+        if drop_key is not None and self.dropout > 0.0:
+            ks = jax.random.split(drop_key, 3)
+            keep = 1.0 - self.dropout
+
+            def drop(i, h):
+                m = jax.random.bernoulli(ks[i], keep, h.shape)
+                return jnp.where(m, h / keep, 0.0)
+        else:
+            drop = lambda i, h: h
+        h = drop(0, jax.nn.relu(dense(params["dnn1"], vec)))
+        h = drop(1, jax.nn.relu(dense(params["dnn2"], h)))
+        h = drop(2, jax.nn.relu(dense(params["dnn3"], h)))
         return dense(params["out"], h)[..., 0]  # [B, M]
 
-    def _logits(self, params, users, seq, items):
+    def _logits(self, params, users, seq, items, drop_key=None):
         """items [B] or [B, M] → matching logits."""
         interests = self._interests(params, seq)
         squeeze = items.ndim == 1
         it = items[:, None] if squeeze else items  # [B, M]
-        out = self._head(params, users, interests, it)
+        out = self._head(params, users, interests, it, drop_key=drop_key)
         return out[:, 0] if squeeze else out
 
     # ------------------------------------------------------------------
@@ -147,13 +165,23 @@ class DSIN(SequenceModel):
         pos_t = pos[:, -1]  # next item (final window position)
         neg_t = neg[:, -1]
         logits = self._logits(params, users, seq,
-                              jnp.stack([pos_t, neg_t], axis=1))  # [B, 2]
+                              jnp.stack([pos_t, neg_t], axis=1),
+                              drop_key=key)  # [B, 2]
         valid = (pos_t != 0).astype(jnp.float32)
         n = jnp.maximum(valid.sum(), 1.0)
         bce = (jnp.logaddexp(0.0, -logits[:, 0])
                + jnp.logaddexp(0.0, logits[:, 1]))
         loss = jnp.sum(bce * valid) / n
         acc = jnp.sum((logits[:, 0] > logits[:, 1]) * valid) / n
+        if self.l2_emb > 0.0:
+            # rows this batch touches only (sparse-equivalent decay): the
+            # user row, the history window, and the candidate pair
+            reg = (jnp.sum(jnp.square(params["user_emb"][users]))
+                   + jnp.sum(jnp.square(params["item_emb"][seq]))
+                   + jnp.sum(jnp.square(params["item_emb"][pos_t]))
+                   + jnp.sum(jnp.square(params["item_emb"][neg_t])))
+            loss = loss + self.l2_emb * reg / jnp.maximum(
+                jnp.float32(users.shape[0]), 1.0)
         return loss, {"loss": loss, "acc": acc}
 
     def score_all(self, params, users, hists):

@@ -263,3 +263,40 @@ def test_sort_dup_matches_reference_drop_duplicates(tmp_path):
     # train [5], test [7]; user 2 keeps [6@1, 8@3] -> train [6], test [8]
     assert train[["uid", "iid"]].values.tolist() == [[1, 5], [2, 6]]
     assert test[["uid", "iid"]].values.tolist() == [[1, 7], [2, 8]]
+
+
+def test_negative_writer_roundtrip(tmp_path):
+    """write_negative_file -> _load_negative_file round-trip (VERDICT r3
+    #5): the writer emits the HeDataset format the presplit loader consumes,
+    aligned by the (u,gt) head field, raw 0-based ids on disk, +1 shift on
+    read, and no negative ever collides with the user's train items or the
+    held-out item."""
+    from acf_tpu.data.process import write_rating_files
+
+    rng = np.random.default_rng(3)
+    rows, t = [], 0
+    for u in range(12):
+        for i in rng.choice(np.arange(30), size=6, replace=False):
+            rows.append((u, int(i), t))
+            t += 1
+    df = pd.DataFrame(rows, columns=["uid", "iid", "timestamp"])
+    write_rating_files(df, str(tmp_path), "rt", reindex=False,
+                       num_negatives=7, seed=11)
+    d = load_dataset("rt", str(tmp_path), eval_mode="sample")
+    assert d.test_negatives is not None
+    assert d.test_negatives.shape[1] == 7
+
+    lines = (tmp_path / "rt.test.negative").read_text().strip().split("\n")
+    assert len(lines) == 12
+    for ln in lines:
+        parts = ln.split("\t")
+        u_raw, gt_raw = (int(x) for x in parts[0].strip("()").split(","))
+        negs_raw = [int(x) for x in parts[1:]]
+        assert len(negs_raw) == 7
+        assert len(set(negs_raw)) == 7  # without replacement
+        u = u_raw + 1  # loader id shift
+        assert int(d.test_item[u]) == gt_raw + 1
+        np.testing.assert_array_equal(d.test_negatives[u],
+                                      np.asarray(negs_raw) + 1)
+        seen = set(d.hist[u][d.hist[u] > 0].tolist()) | {int(d.test_item[u])}
+        assert not (set((np.asarray(negs_raw) + 1).tolist()) & seen)
