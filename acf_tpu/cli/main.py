@@ -234,7 +234,7 @@ def make_model(name, data, args):
         # sessions sized so sess_count*sess_len ≈ --maxlen unless given
         ls = args.sess_len or max(args.maxlen // args.sess_count, 1)
         return DSIN(U, I, d, sess_count=args.sess_count,
-                    sess_len=ls), adam, None
+                    sess_len=ls, loss_type=args.loss or "bce"), adam, None
     if name == "irgan":
         return IRGAN(U, I, d, pairwise_d=args.irgan_pair), optax.sgd(0.001), None
     if name == "apl":

@@ -46,6 +46,12 @@ class DSIN(SequenceModel):
     # (train-time only) + L2 on the embedding rows a batch touches.
     dropout: float = 0.3
     l2_emb: float = 1e-4
+    # "bce": pointwise sigmoid CE on (pos, neg) — the reference DSIN's CTR
+    # objective (DSIN.py:50-73). "bpr": pairwise -log σ(pos − neg) on the
+    # same head — the ranking objective the leave-one-out protocol actually
+    # measures; pointwise CE saturates into memorization on sparse implicit
+    # data (round-4 sweep) where the pairwise margin does not.
+    loss_type: str = "bce"
 
     eval_batch_users = 128
     _item_chunk = 2048
@@ -169,9 +175,12 @@ class DSIN(SequenceModel):
                               drop_key=key)  # [B, 2]
         valid = (pos_t != 0).astype(jnp.float32)
         n = jnp.maximum(valid.sum(), 1.0)
-        bce = (jnp.logaddexp(0.0, -logits[:, 0])
-               + jnp.logaddexp(0.0, logits[:, 1]))
-        loss = jnp.sum(bce * valid) / n
+        if self.loss_type == "bpr":
+            per = jnp.logaddexp(0.0, -(logits[:, 0] - logits[:, 1]))
+        else:
+            per = (jnp.logaddexp(0.0, -logits[:, 0])
+                   + jnp.logaddexp(0.0, logits[:, 1]))
+        loss = jnp.sum(per * valid) / n
         acc = jnp.sum((logits[:, 0] > logits[:, 1]) * valid) / n
         if self.l2_emb > 0.0:
             # rows this batch touches only (sparse-equivalent decay): the

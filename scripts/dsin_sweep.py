@@ -35,11 +35,14 @@ def main():
     data = load_dataset("video", "/root/reference/data")
     results = []
     for spec in args.configs.split(","):
-        dr, l2 = (float(x) for x in spec.split(":"))
-        name = f"dsin_d{dr}_l2{l2}"
+        parts = spec.split(":")
+        dr, l2 = float(parts[0]), float(parts[1])
+        lt = parts[2] if len(parts) > 2 else "bce"
+        name = f"dsin_d{dr}_l2{l2}_{lt}"
         print(f"=== {name} ===", flush=True)
         model = DSIN(data.num_users, data.num_items, 64,
-                     sess_count=2, sess_len=4, dropout=dr, l2_emb=l2)
+                     sess_count=2, sess_len=4, dropout=dr, l2_emb=l2,
+                     loss_type=lt)
         cfg = TrainConfig(batch_size=512, epochs=args.epochs,
                           verbose=args.verbose)
         t0 = time.time()

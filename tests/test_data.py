@@ -300,3 +300,13 @@ def test_negative_writer_roundtrip(tmp_path):
                                       np.asarray(negs_raw) + 1)
         seen = set(d.hist[u][d.hist[u] > 0].tolist()) | {int(d.test_item[u])}
         assert not (set((np.asarray(negs_raw) + 1).tolist()) & seen)
+
+
+def test_data_test_smoke_fixture():
+    """The --data test branch (reference utils.py:74-77) against the
+    checked-in synthetic brightkite sample (scripts/make_test_fixture.py):
+    closes the one cosmetic gap of the round-3 review."""
+    d = load_dataset("test", "/root/repo/data")
+    assert d.num_users > 100 and d.num_items > 100
+    assert d.num_pairs > 1000
+    assert len(d.eval_users()) > 100

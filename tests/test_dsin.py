@@ -50,3 +50,24 @@ def test_empty_history_is_finite():
     s = np.asarray(m.score_some(params, jnp.asarray([1]), hists,
                                 jnp.asarray([[1, 2]])))
     assert np.isfinite(s).all()
+
+
+def test_dsin_bpr_loss_trains_and_dropout_is_train_only():
+    """The pairwise loss_type="bpr" variant learns, and dropout only fires
+    on the train path: scoring (score_all/score_some) is deterministic."""
+    data = seq_data()
+    m = DSIN(data.num_users, data.num_items, dim=16, sess_count=2,
+             sess_len=4, loss_type="bpr", dropout=0.5, l2_emb=1e-4)
+    tr = Trainer(m, data, optax.adam(3e-3),
+                 TrainConfig(batch_size=16, verbose=10**9))
+    before = tr.evaluate().at_k(10)
+    for _ in range(20):
+        stats = tr.run_epoch()
+    after = tr.evaluate().at_k(10)
+    assert np.isfinite(stats["loss"])
+    assert after[1] > before[1], (before, after)
+    users = jnp.asarray([1, 2])
+    hists = jnp.asarray(data.hist[np.array([1, 2])])
+    s1 = np.asarray(m.score_all(tr.params, users, hists))
+    s2 = np.asarray(m.score_all(tr.params, users, hists))
+    np.testing.assert_array_equal(s1, s2)

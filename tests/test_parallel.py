@@ -626,3 +626,38 @@ def test_sharded_recommend_bulk_matches_single_device(mesh):
     gs2, gi2 = sharded_recommend_bulk(mesh, model, params, data, users,
                                       k=5, batch_users=8)
     np.testing.assert_array_equal(np.asarray(gi2), np.asarray(gi))
+
+
+def test_mesh_from_spec_validation_and_fallback_guard(monkeypatch, capsys):
+    """--mesh spec hygiene (round-3 advisor): non-positive or malformed
+    specs hit the friendly ValueError, and the virtual-CPU fallback warns
+    loudly / refuses under ACF_TPU_NO_VIRTUAL_MESH instead of silently
+    moving the run off the accelerator."""
+    import pytest
+
+    from acf_tpu.parallel.mesh import mesh_from_spec
+
+    for bad in ("0", "-2", "2x0", "x", "2x2x2", "abc"):
+        with pytest.raises(ValueError, match="DATAxMODEL"):
+            mesh_from_spec(bad)
+
+    # a spec needing more devices than exist: refused when the env var is
+    # set...
+    monkeypatch.setenv("ACF_TPU_NO_VIRTUAL_MESH", "1")
+    with pytest.raises(RuntimeError, match="VIRTUAL CPU"):
+        mesh_from_spec(str(2 * len(jax.devices())))
+    # ...and loudly warned about otherwise. The fallback mutates the global
+    # device count (8 -> 16); restore the conftest's 8-device world after,
+    # the same way ensure_virtual_devices sets it.
+    monkeypatch.delenv("ACF_TPU_NO_VIRTUAL_MESH")
+    n = 2 * len(jax.devices())
+    try:
+        m = mesh_from_spec(str(n))
+        assert m.size == n
+        assert "VIRTUAL CPU" in capsys.readouterr().err
+    finally:
+        from jax.extend import backend as _jax_backend
+
+        _jax_backend.clear_backends()
+        jax.config.update("jax_num_cpu_devices", 8)
+        assert len(jax.devices()) == 8
