@@ -45,14 +45,19 @@ class APL(PairwiseModel):
     # p_aux mixture consumes hist semantically (not just for rejection) —
     # the trainer must not truncate it via membership_len
     uses_full_hist = True
-    # multi-epoch fused dispatch OFF: scanning this epoch program (two
-    # full-catalog softmax/gumbel scans per epoch) over a 25-epoch block
-    # reproducibly crashed the TPU worker ("kernel fault", axon runtime,
-    # round-3 zoo re-run — twice, while the single-epoch program and every
-    # other model's fused blocks run fine). Until the miscompile is
-    # isolated, the trainer falls back to one dispatch per epoch for APL
-    # (the round-1 behavior; out/r3/zoo_apl.log records the crash).
-    fuse_epochs = False
+    # multi-epoch fused dispatch CAPPED at 5-epoch blocks: scanning this
+    # epoch program over a 25-epoch block reproducibly crashed the TPU
+    # worker ("kernel fault", axon runtime — r3 zoo re-run, twice). The
+    # round-4 ablation probe (scripts/apl_probe.sh, out/r4_apl_probe/)
+    # minimized it: the fault needs the GENERATOR phase — i.e. gradients
+    # through the full-catalog [B, I] softmax chain — at full extent
+    # (23.7k items × 1941 steps × ≥~25-epoch scan); gumbel draw, pad-mask
+    # scatter and p_aux mixture are each individually innocent, the
+    # critic-only program is fine, and 5-epoch blocks (real model and
+    # synthetic repro alike) run clean. A runtime/kernel bug at large
+    # program extent, not a lexical construct — capped fusion recovers
+    # most of the dispatch amortization while staying under the cliff.
+    max_fuse_epochs = 5
 
     def __post_init__(self):
         if self.loss_function not in ("log", "wgan", "hinge"):

@@ -400,20 +400,31 @@ class Trainer:
         # run each inter-eval block of epochs as ONE device dispatch
         # (run_epochs) — the per-dispatch fixed cost is ~15-20 ms through
         # the axon tunnel vs ~100 ms of compute per ml-1m-scale epoch.
-        # models can opt out of multi-epoch fusion (fuse_epochs = False):
-        # APL's 25-epoch fused scan reproducibly crashed the TPU worker
-        # ("kernel fault", r3 zoo re-run) while its single-epoch program is
-        # fine — see models/apl.py
+        # models can opt out of multi-epoch fusion (fuse_epochs = False) or
+        # cap the per-dispatch block (max_fuse_epochs = N): APL's 25-epoch
+        # fused scan reproducibly crashed the TPU worker ("kernel fault",
+        # r3 zoo re-run) while 5-epoch blocks of the same program run fine —
+        # the round-4 ablation probe (scripts/apl_probe.sh) isolated the
+        # fault to the generator-phase softmax backward at large
+        # block × steps × catalog extent, so APL fuses in capped blocks
+        # instead of falling all the way back to per-epoch dispatch. See
+        # models/apl.py and docs/ROADMAP.md.
+        cap = getattr(self.model, "max_fuse_epochs", None)
+        if not getattr(self.model, "fuse_epochs", True):
+            cap = 1
         fuse = ((cfg.verbose or 0) > 1 and not cfg.save_model_path
                 and not (cfg.ckpt_every and cfg.ckpt_path)
-                and getattr(self.model, "fuse_epochs", True))
+                and cap != 1)
         epoch = epoch_start
         while epoch < epochs:
             if fuse:
                 # run through the next eval epoch (first e >= epoch with
-                # e % verbose == 0), or to the end if no eval remains
+                # e % verbose == 0), or to the end if no eval remains —
+                # never more than max_fuse_epochs at once
                 nxt = epoch + (-epoch) % cfg.verbose
                 end = min(nxt, epochs - 1)
+                if cap:
+                    end = min(end, epoch + cap - 1)
             else:
                 end = epoch
             n = end - epoch + 1

@@ -28,12 +28,12 @@ for round in 1 2 3; do
   timeout 1800 python bench.py > $Q/A_$round.json 2> $Q/A_$round.err
   echo "A rc=$?"
   echo "--- round $round B (r2 lib, HEAD harness) ---"
-  PYTHONPATH=/tmp/acf_wt_r2 timeout 1800 python bench.py \
+  timeout 1800 python scripts/_bench_with_lib.py /tmp/acf_wt_r2 bench.py \
     > $Q/B_$round.json 2> $Q/B_$round.err
   echo "B rc=$?"
   echo "--- round $round C (r1 harness + lib) ---"
-  (cd /tmp/acf_wt_r1 && PYTHONPATH=/tmp/acf_wt_r1 timeout 1800 \
-    python bench.py) > $Q/C_$round.json 2> $Q/C_$round.err
+  (cd /tmp/acf_wt_r1 && timeout 1800 python /root/repo/scripts/_bench_with_lib.py \
+    /tmp/acf_wt_r1 /tmp/acf_wt_r1/bench.py) > $Q/C_$round.json 2> $Q/C_$round.err
   echo "C rc=$?"
 done
 

@@ -25,8 +25,11 @@ from acf_tpu.utils.io import OutputWriter  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=400)
-    ap.add_argument("--verbose", type=int, default=25)
+    # DSIN peaks early (< epoch 50 in every bce config): evaluate every 5
+    # epochs so the best-epoch search actually sees the peak, and stop at
+    # 200 (no config has improved past ~50)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--verbose", type=int, default=5)
     ap.add_argument("--out", type=str, default="out/r4_dsin_sweep/")
     ap.add_argument("--configs", type=str,
                     default="0.3:1e-4,0.5:1e-4,0.3:0,0:1e-4,0.5:1e-3")

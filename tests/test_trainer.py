@@ -259,16 +259,7 @@ def test_use_window_loss_instance_switch():
     assert getattr(m2, "use_window_loss", True)
 
 
-def test_fuse_epochs_opt_out():
-    """Models can refuse multi-epoch fused dispatch (fuse_epochs = False —
-    APL's 25-epoch fused scan crashed the TPU worker, models/apl.py): fit()
-    must then run one dispatch per epoch."""
-    from acf_tpu.models.apl import APL
-
-    data = synthetic_data(seed=11)
-    model = APL(data.num_users, data.num_items, 8)
-    tr = Trainer(model, data, optax.sgd(0.05),
-                 TrainConfig(batch_size=32, verbose=5))
+def _spy_run_epochs(tr):
     calls = []
     orig = tr.run_epochs
 
@@ -276,18 +267,63 @@ def test_fuse_epochs_opt_out():
         calls.append(n)
         return orig(n)
     tr.run_epochs = spy
-    tr.fit(epochs=6)
-    assert calls and all(n == 1 for n in calls), calls
+    return calls
 
-    # a default model still fuses the inter-eval block
+
+def test_fuse_epochs_opt_out_and_cap():
+    """Models can refuse multi-epoch fused dispatch (fuse_epochs = False)
+    or cap the per-dispatch block (max_fuse_epochs = N — APL fuses in
+    5-epoch blocks after the round-4 crash minimization, models/apl.py):
+    fit() must honor both."""
+    from acf_tpu.models.apl import APL
+
+    data = synthetic_data(seed=11)
+
+    # APL: capped blocks, never exceeding max_fuse_epochs
+    model = APL(data.num_users, data.num_items, 8)
+    assert model.max_fuse_epochs == 5
+    tr = Trainer(model, data, optax.sgd(0.05),
+                 TrainConfig(batch_size=32, verbose=10))
+    calls = _spy_run_epochs(tr)
+    tr.fit(epochs=12)
+    assert calls and max(calls) > 1, calls
+    assert all(n <= 5 for n in calls), calls
+
+    # explicit opt-out still runs one dispatch per epoch
+    m_off = MFBPR(data.num_users, data.num_items, 8)
+    m_off.fuse_epochs = False
+    tr0 = Trainer(m_off, data, optax.adagrad(0.05),
+                  TrainConfig(batch_size=32, verbose=5))
+    calls0 = _spy_run_epochs(tr0)
+    tr0.fit(epochs=6)
+    assert calls0 and all(n == 1 for n in calls0), calls0
+
+    # a default model still fuses the whole inter-eval block
     tr2 = Trainer(MFBPR(data.num_users, data.num_items, 8), data,
                   optax.adagrad(0.05), TrainConfig(batch_size=32, verbose=5))
-    calls2 = []
-    orig2 = tr2.run_epochs
-
-    def spy2(n):
-        calls2.append(n)
-        return orig2(n)
-    tr2.run_epochs = spy2
+    calls2 = _spy_run_epochs(tr2)
     tr2.fit(epochs=6)
     assert max(calls2) > 1, calls2
+
+
+def test_capped_fusion_bit_exact():
+    """max_fuse_epochs chunking is bit-exact with unfused training (the
+    per-epoch keys split from self.key in the same order either way)."""
+    data = synthetic_data(seed=12)
+
+    def mk(cap):
+        m = MFBPR(data.num_users, data.num_items, 8)
+        if cap == 1:
+            m.fuse_epochs = False
+        else:
+            m.max_fuse_epochs = cap
+        return Trainer(m, data, optax.adagrad(0.05),
+                       TrainConfig(batch_size=32, verbose=4))
+
+    import jax
+
+    a, b = mk(1), mk(3)
+    a.fit(epochs=8)
+    b.fit(epochs=8)
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
