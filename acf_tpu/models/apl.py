@@ -56,7 +56,9 @@ class APL(PairwiseModel):
     # critic-only program is fine, and 5-epoch blocks (real model and
     # synthetic repro alike) run clean. A runtime/kernel bug at large
     # program extent, not a lexical construct — capped fusion recovers
-    # most of the dispatch amortization while staying under the cliff.
+    # most of the dispatch amortization while staying under the cliff
+    # (bracketed: 12-epoch blocks clean, 18-epoch blocks crash; 5 keeps a
+    # 2.4× margin in case the cliff moves with catalog/batch shape).
     max_fuse_epochs = 5
 
     def __post_init__(self):

@@ -41,7 +41,8 @@ def main():
         parts = spec.split(":")
         dr, l2 = float(parts[0]), float(parts[1])
         lt = parts[2] if len(parts) > 2 else "bce"
-        name = f"dsin_d{dr}_l2{l2}_{lt}"
+        lr = float(parts[3]) if len(parts) > 3 else 0.001
+        name = f"dsin_d{dr}_l2{l2}_{lt}_lr{lr}"
         print(f"=== {name} ===", flush=True)
         model = DSIN(data.num_users, data.num_items, 64,
                      sess_count=2, sess_len=4, dropout=dr, l2_emb=l2,
@@ -49,7 +50,7 @@ def main():
         cfg = TrainConfig(batch_size=512, epochs=args.epochs,
                           verbose=args.verbose)
         t0 = time.time()
-        tr = Trainer(model, data, optax.adam(0.001), cfg,
+        tr = Trainer(model, data, optax.adam(lr), cfg,
                      OutputWriter(args.out, f"video_{name}"))
         best = tr.fit()
         r = {"config": spec, "hr10": best.get("hr"),
