@@ -233,8 +233,11 @@ def make_model(name, data, args):
         from acf_tpu.models.dsin import DSIN
         # sessions sized so sess_count*sess_len ≈ --maxlen unless given
         ls = args.sess_len or max(args.maxlen // args.sess_count, 1)
+        # tuned lr (round-4 sweep, models/dsin.py): 1e-3 memorizes in one
+        # epoch on sparse implicit data, 1e-4 actually trains
         return DSIN(U, I, d, sess_count=args.sess_count,
-                    sess_len=ls, loss_type=args.loss or "bce"), adam, None
+                    sess_len=ls, loss_type=args.loss or "bce"), \
+            optax.adam(1e-4), None
     if name == "irgan":
         return IRGAN(U, I, d, pairwise_d=args.irgan_pair), optax.sgd(0.001), None
     if name == "apl":

@@ -44,7 +44,11 @@ class DSIN(SequenceModel):
     # catalog in tens of epochs (round-4 Video zoo run: train ACC → 1.0 by
     # epoch 50 while HR@10 halves). Dropout on the DNN hidden layers
     # (train-time only) + L2 on the embedding rows a batch touches.
-    dropout: float = 0.3
+    # Round-4 Video sweep (out/r4_dsin_sweep*): dropout 0.5 + l2 1e-4 with
+    # adam lr 1e-4 (NOT the zoo's usual 1e-3 — at 1e-3 every config
+    # converges in one epoch then memorizes) is the best found
+    # configuration; the CLI and zoo builders use that lr for DSIN.
+    dropout: float = 0.5
     l2_emb: float = 1e-4
     # "bce": pointwise sigmoid CE on (pos, neg) — the reference DSIN's CTR
     # objective (DSIN.py:50-73). "bpr": pairwise -log σ(pos − neg) on the

@@ -61,8 +61,9 @@ def build(name, data, maxlen):
         from acf_tpu.models.dsin import DSIN
         # Video mean history ≈ 9 items → 2 sessions of 4 keeps the whole
         # protocol window (maxlen 8) while still exercising the
-        # session-evolution GRU across >1 session
-        return DSIN(U, I, 64, sess_count=2, sess_len=4), adam
+        # session-evolution GRU across >1 session; tuned lr 1e-4
+        # (round-4 sweep — see models/dsin.py)
+        return DSIN(U, I, 64, sess_count=2, sess_len=4), optax.adam(1e-4)
     if name == "pop":
         return MostPopular(U, I, 64, data=data), adam
     if name == "mrv":
