@@ -177,11 +177,24 @@ class APL(PairwiseModel):
             _, c_loss = self._losses(real, fake, 0.0, c_l2)
             return c_loss
 
+        # Rematting the generator sampling chain was measured and REJECTED
+        # (scripts/apl_remat_probe.py, out/r4/apl_remat_probe.json:
+        # same-session A/B 6.32 s vs 3.99 s per epoch = 0.63×): the
+        # hypothesis was that skipping the saved [B, I] residuals would
+        # beat re-paying one [B,d]×[d,I] matmul, but XLA's stock backward
+        # schedule already wins — recomputing the full
+        # softmax → mix → gumbel chain costs more HBM traffic than the
+        # residual loads it avoids. Off by default; kept as an opt-in knob
+        # so the measurement is one flag away on future hardware.
+        sample_gen = (jax.checkpoint(fake_onehot_gen)
+                      if getattr(self, "remat_gen", False)
+                      else fake_onehot_gen)
+
         def gen_step_loss(g_params, c_params, users, items, hist_rows, key):
             pu = jax.lax.stop_gradient(c_params["P"][users])
             qi = jax.lax.stop_gradient(c_params["Q"][items])
             real = jnp.sum(pu * qi, -1)
-            onehot = fake_onehot_gen(g_params, users, hist_rows, key)
+            onehot = sample_gen(g_params, users, hist_rows, key)
             fake_emb = onehot @ jax.lax.stop_gradient(c_params["Q"])
             fake = jnp.sum(pu * fake_emb, -1)
             g_l2 = (jnp.sum(jnp.square(g_params["P"][users]))
