@@ -335,16 +335,23 @@ class FullRankEvaluator:
             pos = fn_all(params, table_shard, bias_shard, *tiles)
             return np.asarray(pos)[: len(self.users)]
         # multi-host: per-tile shard_batch keeps each host materializing
-        # only its local rows.
-        # UNTESTED ON REAL HARDWARE: requires jax.process_count() > 1,
-        # which a single-process image cannot produce — only the underlying
-        # host_sharded_array wiring is covered (mocked-process tests in
-        # tests/test_parallel.py), not this loop.
+        # only its local rows. Exercised by a REAL 2-process
+        # jax.distributed run (scripts/multiprocess_smoke.py, gated by
+        # tests/test_multiprocess.py) — positions match the single-device
+        # evaluator exactly. That first real run caught two latent bugs in
+        # this path: input padding that didn't tile over the device axis
+        # (parallel/input_pipeline.py) and the np.asarray below, which
+        # raises on arrays spanning non-addressable devices unless the
+        # result is replicated first.
         out = []
         for users, hists, gt, _, _ in self._tiles():
-            users, hists, gt = shard_batch(self.mesh, (users, hists, gt))
+            users, hists, gt = shard_batch(
+                self.mesh, tuple(np.asarray(x) for x in (users, hists, gt)))
             out.append(fn(params, table_shard, bias_shard, users, hists, gt))
-        pos = np.asarray(jnp.concatenate(out))
+        pos = jnp.concatenate(out)
+        replicate = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, P()))
+        pos = np.asarray(replicate(pos))
         return pos[: len(self.users)]
 
     def evaluate_model(self, model, params) -> EvalResult:

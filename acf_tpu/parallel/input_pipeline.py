@@ -31,34 +31,43 @@ def host_sharded_array(mesh: Mesh, global_data: np.ndarray,
         return jax.device_put(jnp.asarray(global_data), sharding)
     # each process contributes its slice of the leading dim; pad the tail
     # (wrapping the first rows) so a non-divisible dataset never silently
-    # drops its last n % process_count examples.
-    # UNTESTED ON REAL HARDWARE: this branch needs process_count > 1 (a
-    # multi-host pod slice); tests/test_parallel.py exercises it with
-    # jax.process_count/make_array_from_process_local_data mocked, which
-    # validates the slice math and call wiring but not the runtime path.
+    # drops its last examples. The padded length must divide evenly over
+    # BOTH the process count (equal per-process shards) and the sharding
+    # axis's device count (NamedSharding refuses uneven tiling) — the
+    # round-2..4 mocked tests only padded to the process count, which the
+    # first REAL 2-process run (scripts/multiprocess_smoke.py) caught as a
+    # ValueError on a 9-row array over a 4-device data axis.
     local, padded_n = process_local_rows(
-        global_data, jax.process_count(), jax.process_index())
+        global_data, jax.process_count(), jax.process_index(),
+        axis_size=mesh.shape[axis])
     return jax.make_array_from_process_local_data(
         sharding, local,
         global_shape=(padded_n,) + global_data.shape[1:])
 
 
-def process_rows(n: int, count: int, index: int):
+def process_rows(n: int, count: int, index: int, axis_size: int = 1):
     """Pure index math for the multi-host slice of a length-``n`` leading
     dim over ``count`` processes: ``(start, per, pad)`` where ``per`` is
     the (ceil) rows per process, ``pad`` the number of wrap rows appended
     (first ``pad`` rows of the array repeated at the tail so nothing is
     dropped when ``count`` does not divide ``n``), and ``start`` process
-    ``index``'s offset into the padded array."""
-    per = -(-n // count)
-    pad = per * count - n
-    return index * per, per, pad
+    ``index``'s offset into the padded array. The padded length is a
+    multiple of lcm(``count``, ``axis_size``) so the resulting global
+    array tiles evenly over the mesh axis's devices as well as over
+    processes."""
+    import math
+
+    m = math.lcm(count, max(axis_size, 1))
+    padded = -(-n // m) * m
+    per = padded // count
+    return index * per, per, padded - n
 
 
-def process_local_rows(global_data: np.ndarray, count: int, index: int):
+def process_local_rows(global_data: np.ndarray, count: int, index: int,
+                       axis_size: int = 1):
     """(local slice for this process, padded global length)."""
     n = global_data.shape[0]
-    start, per, pad = process_rows(n, count, index)
+    start, per, pad = process_rows(n, count, index, axis_size)
     if pad:
         global_data = np.concatenate([global_data, global_data[:pad]],
                                      axis=0)

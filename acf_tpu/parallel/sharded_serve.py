@@ -226,4 +226,14 @@ def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,
         lambda: make_sharded_recommend(mesh, user_repr_fn,
                                        model.num_items, k=k))
     users, hists = shard_batch(mesh, (users, hists))
-    return fn(params, table_shard, bias_shard, users, hists)
+    scores, ids = fn(params, table_shard, bias_shard, users, hists)
+    if jax.process_count() > 1:
+        # on a multi-host mesh the results come back sharded over "data"
+        # across processes — replicate so every host can read the full
+        # response (first caught by the real 2-process run in
+        # scripts/multiprocess_smoke.py: np.asarray on a non-addressable
+        # global array raises).
+        rep = jax.jit(lambda s, i: (s, i),
+                      out_shardings=NamedSharding(mesh, P()))
+        scores, ids = rep(scores, ids)
+    return scores, ids
