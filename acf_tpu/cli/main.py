@@ -51,7 +51,11 @@ def build_parser():
                    default=50,
                    help="epoch at which the adversarial phase starts")
     p.add_argument("--bs", "--batch_size", dest="bs", type=int, default=512)
-    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=0.05,
+                   help="learning rate (adagrad models; default 0.05 per "
+                        "the reference). DSIN pins its tuned adam 1e-4 "
+                        "unless --lr is explicitly set to a non-default "
+                        "value")
     p.add_argument("--reg", type=float, default=0.0)
     p.add_argument("--reg_adv", type=float, default=1.0)
     p.add_argument("--eps", type=float, default=0.5)
@@ -234,10 +238,14 @@ def make_model(name, data, args):
         # sessions sized so sess_count*sess_len ≈ --maxlen unless given
         ls = args.sess_len or max(args.maxlen // args.sess_count, 1)
         # tuned lr (round-4 sweep, models/dsin.py): 1e-3 memorizes in one
-        # epoch on sparse implicit data, 1e-4 actually trains
+        # epoch on sparse implicit data, 1e-4 actually trains. An
+        # explicitly-passed --lr overrides the tuned default (the CLI
+        # default 0.05 feeds the adagrad models and means "not set" here —
+        # round-4 advisor finding: silently ignoring --lr broke sweeps).
+        dsin_lr = args.lr if args.lr != 0.05 else 1e-4
         return DSIN(U, I, d, sess_count=args.sess_count,
                     sess_len=ls, loss_type=args.loss or "bce"), \
-            optax.adam(1e-4), None
+            optax.adam(dsin_lr), None
     if name == "irgan":
         return IRGAN(U, I, d, pairwise_d=args.irgan_pair), optax.sgd(0.001), None
     if name == "apl":

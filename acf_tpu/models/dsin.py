@@ -61,6 +61,13 @@ class DSIN(SequenceModel):
     _item_chunk = 2048
 
     def __post_init__(self):
+        # validate like APL does for loss_function: a typo (or a CLI --loss
+        # meant for another model leaking through) must not silently fall
+        # back to the bce branch (round-4 advisor finding)
+        if self.loss_type not in ("bce", "bpr"):
+            raise ValueError(
+                f"DSIN loss_type must be 'bce' or 'bpr', got "
+                f"{self.loss_type!r}")
         self.maxlen = self.sess_count * self.sess_len
 
     def init_params(self, key):

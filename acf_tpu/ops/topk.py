@@ -160,3 +160,76 @@ def recommend(model, params, data, users, k: int = 10, batch_users: int = 512):
         outs.append(fn(params, ub, hb))
     return (np.concatenate([np.asarray(sc) for sc, _ in outs]),
             np.concatenate([np.asarray(it) for _, it in outs]))
+
+
+class SessionStream:
+    """Stateful session-stream recommender (the serving surface for
+    GRU4Rec's streaming API — reference ``predict_next_batch``,
+    GRU4Rec.py:285-327).
+
+    The reference serves session-based models statefully: a fixed number of
+    parallel session slots, one event per slot per call, hidden state
+    carried on the host between calls. This wraps any model exposing
+
+      * ``init_state(batch_size) -> state``
+      * ``step_state(params, state, items, reset_mask)
+          -> (state, scores [B, I])``
+
+    into a jitted push API: feed one item id per slot (0 = no event for
+    that slot this tick — state untouched), get top-k next-item
+    recommendations back. ``reset_mask`` starts a new session in a slot
+    (the reference resets the corresponding hidden-state rows when a
+    session id changes, GRU4Rec.py:314-318).
+
+    Example::
+
+        stream = SessionStream(model, params, batch_size=128, k=10)
+        scores, items = stream.push(first_events)
+        scores, items = stream.push(next_events)           # state carried
+        stream.push(ev, reset_mask=(session_id != prev))   # new sessions
+
+    The per-call program is one fused jit (GRU cell + catalog scores +
+    top-k): state stays on device, only the [B, k] results land on host.
+    """
+
+    def __init__(self, model, params, batch_size: int, k: int = 10):
+        import numpy as np
+
+        if not hasattr(model, "step_state"):
+            raise ValueError(
+                f"{type(model).__name__} has no streaming step_state API "
+                "(GRU4Rec-style session models only)")
+        self.model = model
+        self.params = params
+        self.batch_size = int(batch_size)
+        self.k = int(k)
+        self.state = model.init_state(self.batch_size)
+        self._np = np
+
+        @jax.jit
+        def _push(params, state, items, reset):
+            state, scores = model.step_state(params, state, items, reset)
+            scores = scores.at[:, 0].set(NEG)  # pad item never recommended
+            s, i = jax.lax.top_k(scores, self.k)
+            return state, s, i
+
+        self._push = _push
+
+    def push(self, items, reset_mask=None):
+        """Consume one event per slot; return (scores [B, k], items [B, k])
+        for the next-item prediction of every slot."""
+        np = self._np
+        items = jnp.asarray(np.asarray(items, dtype=np.int32))
+        if items.shape != (self.batch_size,):
+            raise ValueError(
+                f"items must be [{self.batch_size}], got {items.shape}")
+        if reset_mask is None:
+            reset = jnp.zeros((self.batch_size,), dtype=bool)
+        else:
+            reset = jnp.asarray(np.asarray(reset_mask, dtype=bool))
+        self.state, s, i = self._push(self.params, self.state, items, reset)
+        return np.asarray(s), np.asarray(i)
+
+    def reset(self):
+        """Reset every slot (end of all sessions)."""
+        self.state = self.model.init_state(self.batch_size)

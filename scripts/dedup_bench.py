@@ -41,15 +41,19 @@ def build_data(rng, num_users, num_items, n_pairs, hist_cols=4):
     }
 
 
-def time_epoch(model, optimizer, data, bs, steps, seed=0):
+def time_epoch(model, optimizer, data, bs, steps, seed=0, mesh=None):
     params = model.init_params(jax.random.PRNGKey(seed))
+    if mesh is not None:
+        from acf_tpu.parallel.input_pipeline import replicate
+        data = {k: replicate(mesh, v) for k, v in data.items()}
     if hasattr(model, "init_opt_state"):
         opt_state = model.init_opt_state(optimizer, params)
-        epoch_fn = model.make_epoch_fn(optimizer, bs, steps)
+        epoch_fn = model.make_epoch_fn(optimizer, bs, steps, mesh=mesh)
     else:
         from acf_tpu.train.trainer import make_pair_epoch_fn
         opt_state = optimizer.init(params)
-        epoch_fn = make_pair_epoch_fn(model, optimizer, bs, steps)
+        epoch_fn = make_pair_epoch_fn(model, optimizer, bs, steps,
+                                      mesh=mesh)
     carry = (params, opt_state)
     key = jax.random.PRNGKey(1)
     carry, aux = epoch_fn(carry, data, key)        # compile + warm
@@ -72,10 +76,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--bs", type=int, default=4096)
+    ap.add_argument("--mesh", type=str, default="",
+                    help="run the sparse rows under a DATAxMODEL mesh too "
+                         "(e.g. 1x2: tables + Adagrad slots row-sharded "
+                         "2-way over \"model\"); falls back to virtual CPU "
+                         "devices when the runtime has fewer real chips")
     args = ap.parse_args()
 
     from acf_tpu.models.mf import MFBPR
     from acf_tpu.ops.sparse_step import SparseMFBPR
+
+    mesh = None
+    if args.mesh:
+        from acf_tpu.parallel.mesh import mesh_from_spec
+        mesh = mesh_from_spec(args.mesh)
 
     scales = [
         # (name, users, items, run_dense) — dense autodiff materializes
@@ -93,6 +107,9 @@ def main():
             m = SparseMFBPR(U, I, 64, adversarial=True, eps=0.5,
                             reg_adv=1.0, dedup=mode)
             results[mode] = time_epoch(m, None, data, args.bs, args.steps)
+            if mesh is not None:
+                results[f"{mode}-mesh"] = time_epoch(
+                    m, None, data, args.bs, args.steps, mesh=mesh)
         if run_dense:
             dense = MFBPR(U, I, 64, adversarial=True, eps=0.5, reg_adv=1.0)
             results["dense"] = time_epoch(

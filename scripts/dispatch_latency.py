@@ -2,8 +2,8 @@
 
 Times N sequential synchronized calls of a trivial jitted program (donate
 nothing, materialize the scalar result each call — a true host round-trip
-per iteration), then the same for a Video-epoch-sized BPR program, and
-prints per-call costs. Used to interpret bench A/B leg C: the r1 bench's
+per iteration) and prints the per-call cost. Used to interpret bench A/B
+leg C: the r1 bench's
 per-epoch-dispatch design pays this cost every epoch, the fused run_epochs
 design pays it once per block.
 """

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -306,7 +308,8 @@ def test_data_test_smoke_fixture():
     """The --data test branch (reference utils.py:74-77) against the
     checked-in synthetic brightkite sample (scripts/make_test_fixture.py):
     closes the one cosmetic gap of the round-3 review."""
-    d = load_dataset("test", "/root/repo/data")
+    repo_data = os.path.join(os.path.dirname(__file__), "..", "data")
+    d = load_dataset("test", repo_data)
     assert d.num_users > 100 and d.num_items > 100
     assert d.num_pairs > 1000
     assert len(d.eval_users()) > 100

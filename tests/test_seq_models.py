@@ -180,3 +180,51 @@ def test_gru4rec_windowed_scan_matches_session_parallel_schedule():
                                    err_msg=f"session {sess} step {step}")
         checked += 1
     assert checked >= 10
+
+
+def test_session_stream_serving_matches_score_all():
+    """SessionStream (ops/topk.py — the serving surface for the reference's
+    stateful predict_next_batch, GRU4Rec.py:285-327): pushing a session
+    event-by-event must produce the same top-k as scoring the full
+    history in one shot; 0-events leave slots untouched; reset_mask starts
+    a session over."""
+    import jax.numpy as jnp
+
+    from acf_tpu.ops.topk import SessionStream
+
+    data = seq_data()
+    m = MODELS["gru4rec"](data)
+    params = m.init_params(jax.random.PRNGKey(0))
+
+    seq = np.array([[3, 4, 5, 6], [7, 8, 0, 9]], dtype=np.int32)
+    stream = SessionStream(m, params, batch_size=2, k=5)
+    for t in range(seq.shape[1]):
+        scores, items = stream.push(seq[:, t])
+
+    # oracle: full-history one-shot scores, pad col masked, top-5
+    hists = jnp.asarray(np.array([[3, 4, 5, 6], [0, 7, 8, 9]],
+                                 dtype=np.int32))
+    full = m.score_all(params, jnp.asarray([1, 2]), hists)
+    full = full.at[:, 0].set(-3.0e38)
+    ws, wi = jax.lax.top_k(full, 5)
+    np.testing.assert_array_equal(items, np.asarray(wi))
+    np.testing.assert_allclose(scores, np.asarray(ws), rtol=1e-5, atol=1e-6)
+
+    # reset slot 0 only → its next push equals a fresh session's
+    s_reset, i_reset = stream.push(np.array([3, 0], dtype=np.int32),
+                                   reset_mask=np.array([True, False]))
+    fresh = SessionStream(m, params, batch_size=1, k=5)
+    s_fresh, i_fresh = fresh.push(np.array([3], dtype=np.int32))
+    np.testing.assert_array_equal(i_reset[0], i_fresh[0])
+    np.testing.assert_allclose(s_reset[0], s_fresh[0], rtol=1e-6)
+    # slot 1 had no event and no reset → unchanged prediction
+    np.testing.assert_array_equal(i_reset[1], items[1])
+
+
+def test_session_stream_rejects_stateless_models():
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.ops.topk import SessionStream
+
+    m = MFBPR(10, 10, 4)
+    with pytest.raises(ValueError, match="step_state"):
+        SessionStream(m, m.init_params(jax.random.PRNGKey(0)), 2)
