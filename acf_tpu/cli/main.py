@@ -83,6 +83,10 @@ def build_parser():
                    help="gru4rec cell activation")
     p.add_argument("--sess_count", type=int, default=5,
                    help="dsin: number of sessions S")
+    p.add_argument("--dsin_bi", action="store_true",
+                   help="dsin: bidirectional (Bi-GRU) interest evolution "
+                        "over session interests (paper-faithful; "
+                        "sum-merged)")
     p.add_argument("--sess_len", type=int, default=0,
                    help="dsin: items per session (0 = maxlen // sess_count)")
     p.add_argument("--irgan_pair", action="store_true",
@@ -244,7 +248,8 @@ def make_model(name, data, args):
         # round-4 advisor finding: silently ignoring --lr broke sweeps).
         dsin_lr = args.lr if args.lr != 0.05 else 1e-4
         return DSIN(U, I, d, sess_count=args.sess_count,
-                    sess_len=ls, loss_type=args.loss or "bce"), \
+                    sess_len=ls, loss_type=args.loss or "bce",
+                    bi_evolution=args.dsin_bi), \
             optax.adam(dsin_lr), None
     if name == "irgan":
         return IRGAN(U, I, d, pairwise_d=args.irgan_pair), optax.sgd(0.001), None

@@ -69,6 +69,10 @@ class APL(PairwiseModel):
     reg_c: float = 0.05          # regs[1]
     temperature: float = 0.2
     p_aux_weight: float = 0.2    # APL.py:196, 250-252
+    # closed-form generator-phase backward (see gen_step_manual): same
+    # math as autodiff to float tolerance, ~1/3 the [B, I] buffer count.
+    # False restores the reference-shaped autodiff formulation.
+    manual_gen: bool = True
 
     def init_params(self, key):
         ks = jax.random.split(key, 4)
@@ -202,6 +206,72 @@ class APL(PairwiseModel):
             g_loss, _ = self._losses(real, fake, g_l2, 0.0)
             return g_loss
 
+        def gen_step_manual(g_params, c_params, users, items, hist_rows,
+                            key):
+            """Closed-form generator-phase gradients (round-5; VERDICT r4
+            #2). Autodiff through the [B, I] softmax→mix→gumbel-softmax
+            chain materializes a residual per primitive plus layout copies
+            (48% of the gen step was transpose/copy in the r4 op profile,
+            out/r4/apl_profile.jsonl). The chain's true backward is two
+            softmax VJP rules and a reciprocal — all rowwise:
+
+              fake_b       = Σ_i s_bi · c_bi,  c = pu_c Qc^T, s = softmax(z)
+              ∂L/∂z_bi     = s_bi · a_b · (c_bi − fake_b)       (softmax VJP)
+              ∂L/∂mixed    = ∂L/∂z / (T · (mixed + ε))          (z = (log(mixed+ε)+g)/T)
+              ∂L/∂probs    = (1 − w) · ∂L/∂mixed                (p_aux affine)
+              ∂L/∂logits   = probs ∘ (r − ⟨probs, r⟩)           (softmax VJP)
+              ∂L/∂P[u]     = ∂L/∂logits · Q_g (+ reg rows)
+              ∂L/∂Q_g      = ∂L/∂logits^T · P[u] (+ reg)
+
+            with a_b = ∂L/∂fake_b autodiffed through the tiny [B] loss
+            head only. Math identical to autodiff (float-tolerance-tested
+            against it, tests/test_gan_models.py); the hand-scheduled
+            program holds ~4 [B, I] buffers instead of ~12."""
+            d = self.dim
+            w, T, eps = self.p_aux_weight, self.temperature, 1e-20
+            pu_g = g_params["P"][users]                       # [B, d]
+            Qg = g_params["Q"]                                # [I, d]
+            logits = jax.lax.dot_general(                     # [B, I]
+                pu_g, Qg, (((1,), (1,)), ((), ())))
+            logits = logits.at[:, 0].set(-1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+
+            b = users.shape[0]
+            rows = jnp.arange(b)[:, None]
+            member = jnp.zeros_like(probs).at[rows, hist_rows].max(
+                (hist_rows != 0).astype(probs.dtype))
+            nuniq = jnp.maximum(jnp.sum(member, -1, keepdims=True), 1.0)
+            mixed = (1.0 - w) * probs + w * member / nuniq
+
+            un = jax.random.uniform(key, probs.shape, minval=0.0,
+                                    maxval=1.0)
+            gn = -jnp.log(-jnp.log(un + eps) + eps)
+            s = jax.nn.softmax((jnp.log(mixed + eps) + gn) / T, axis=-1)
+
+            pu_c = c_params["P"][users]
+            cs = jax.lax.dot_general(                          # [B, I]
+                pu_c, c_params["Q"], (((1,), (1,)), ((), ())))
+            fake = jnp.sum(s * cs, -1)
+            real = jnp.sum(pu_c * c_params["Q"][items], -1)
+
+            def head(fake_):
+                gl, _ = self._losses(real, fake_, 0.0, 0.0)
+                return gl
+
+            g_main, a = jax.value_and_grad(head)(fake)
+
+            dz = s * (a[:, None] * (cs - fake[:, None]))
+            r = ((1.0 - w) / T) * dz / (mixed + eps)
+            dlogits = probs * (r - jnp.sum(probs * r, -1, keepdims=True))
+
+            gP_rows = dlogits @ Qg + self.reg_g * pu_g        # [B, d]
+            gP = jnp.zeros_like(g_params["P"]).at[users].add(gP_rows)
+            gQ = jax.lax.dot_general(                          # [I, d]
+                dlogits, pu_g, (((0,), (0,)), ((), ())))
+            gQ = gQ + self.reg_g * Qg
+            g_l2 = (jnp.sum(jnp.square(pu_g)) + jnp.sum(jnp.square(Qg))) / 2
+            return g_main + self.reg_g * g_l2, {"P": gP, "Q": gQ}
+
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(carry, data, key):
             params, opt_state = carry
@@ -231,8 +301,15 @@ class APL(PairwiseModel):
                 idx, kk = xs
                 u, i = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
                 hist_rows = data["hist"][u]
-                gl, grads = jax.value_and_grad(gen_step_loss)(
-                    g_params, c_new, u, i, hist_rows, kk)
+                if self.manual_gen and mesh is None:
+                    gl, grads = gen_step_manual(
+                        g_params, c_new, u, i, hist_rows, kk)
+                else:
+                    # autodiff path: reference formulation kept verbatim
+                    # (also the GSPMD-mesh path — the manual program's
+                    # hand-scheduled scatters are single-device-tuned)
+                    gl, grads = jax.value_and_grad(gen_step_loss)(
+                        g_params, c_new, u, i, hist_rows, kk)
                 up, g_os = g_opt.update(grads, g_os, g_params)
                 return (optax.apply_updates(g_params, up), g_os), gl
 

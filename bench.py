@@ -1,6 +1,14 @@
-"""Benchmark: APR adversarial training throughput (ml-1m-shaped workload).
+"""Benchmark: APR adversarial training throughput (ml-1m-shaped workload)
+plus the rest of the flagship surface (VERDICT r4 #4).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline APR metric, with an "extra_metrics" dict guarding the other three
+headline numbers — ASASRec train throughput at the Video maxlen-8 protocol
+shape, the full-catalog 31k x 23.7k evaluator, and bulk top-10 serving —
+each best-of-3 with the per-sample spread recorded (the axon tunnel adds
+run-to-run jitter; docs/PARITY.md "Bench guard" documents the expected
+bands). A regression anywhere in the headline story now shows in
+BENCH_r*.json, not only in ad-hoc scripts.
 
 Baseline: the reference's APR epoch on single-core CPU — ~994k pairs in
 ~3.7 s train time on ml-1m (BASELINE.md "ml-1m APR" row) ≈ 268k examples/s,
@@ -9,7 +17,9 @@ the reference. Here sampling + FGSM + optimizer update all run on device and
 are *included* in the measured time, on a synthetic dataset with ml-1m's
 exact shape (throughput is shape-determined; ml-1m's raw data is not
 fetchable in this environment — quality parity is measured on Video, see
-docs/PARITY.md).
+docs/PARITY.md). Sub-metric reference points ("vs_r4") are round-4's
+measured values on this same harness: ASASRec 787k ex/s, eval 0.28 s,
+serving 28.7k users/s.
 """
 
 import json
@@ -50,7 +60,7 @@ def _timed(fn):
     return time.time() - t0
 
 
-def main():
+def bench_apr():
     from acf_tpu.models.mf import MFBPR
     from acf_tpu.train.trainer import Trainer, TrainConfig
 
@@ -68,10 +78,65 @@ def main():
     # (VERDICT r2 #6 — record the spread so round-over-round deltas are
     # interpretable against the measurement noise)
     times = [_timed(lambda: tr.run_epochs(n_epochs)) for _ in range(3)]
-    dt = min(times)
     examples = n_epochs * tr.num_batches * cfg.batch_size
-    ex_per_s = examples / dt
-    spread = [round(examples / t, 1) for t in times]
+    return examples / min(times), [round(examples / t, 1) for t in times]
+
+
+def bench_flagship_extras():
+    """The rest of the headline surface on the REAL Video dataset:
+    adversarial SASRec training at the maxlen-8 parity protocol shape, the
+    single-dispatch full-catalog evaluator, and bulk top-10 serving."""
+    import numpy as np
+
+    from acf_tpu.data import load_dataset
+    from acf_tpu.eval.full_rank import FullRankEvaluator
+    from acf_tpu.models.mf import MFBPR
+    from acf_tpu.models.sasrec import SASRec
+    from acf_tpu.ops.topk import recommend
+    from acf_tpu.train.trainer import Trainer, TrainConfig
+
+    data = load_dataset("video", "/root/reference/data", max_hist_len=512)
+    extras = {}
+
+    # -- ASASRec train ex/s (maxlen-8 protocol geometry, bs 512) ---------
+    sas = SASRec(data.num_users, data.num_items, 64, maxlen=8,
+                 adversarial=True, eps=0.5, reg_adv=1.0)
+    tr = Trainer(sas, data, optax.adam(0.001),
+                 TrainConfig(batch_size=512, verbose=10 ** 9))
+    tr.run_epoch()
+    tr.run_epochs(2)
+    times = [_timed(lambda: tr.run_epochs(2)) for _ in range(3)]
+    ex = 2 * tr.num_batches * 512
+    extras["asasrec_train_examples_per_sec"] = {
+        "value": round(ex / min(times), 1),
+        "samples": [round(ex / t, 1) for t in times], "vs_r4": 787_000}
+
+    # -- full-catalog eval seconds (31k users x 23.7k items) -------------
+    mf = MFBPR(data.num_users, data.num_items, 64)
+    params = mf.init_params(jax.random.PRNGKey(0))
+    ev = FullRankEvaluator(data, batch_users=512)
+    ev.evaluate_model(mf, params)  # compile + warm
+    times = [_timed(lambda: ev.evaluate_model(mf, params))
+             for _ in range(3)]
+    extras["full_catalog_eval_seconds"] = {
+        "value": round(min(times), 3),
+        "samples": [round(t, 3) for t in times], "vs_r4": 0.28}
+
+    # -- bulk serving users/s (top-10 over the whole user base) ----------
+    users = np.arange(1, data.num_users, dtype=np.int32)
+    recommend(mf, params, data, users, k=10, batch_users=512)  # warm
+    times = [_timed(lambda: recommend(mf, params, data, users, k=10,
+                                      batch_users=512)) for _ in range(3)]
+    extras["bulk_serve_users_per_sec"] = {
+        "value": round(len(users) / min(times)),
+        "samples": [round(len(users) / t) for t in times],
+        "vs_r4": 28_700}
+    return extras
+
+
+def main():
+    ex_per_s, spread = bench_apr()
+    extras = bench_flagship_extras()
 
     baseline_cpu = 268_000.0  # reference APR train-phase examples/s (CPU)
     print(json.dumps({
@@ -80,6 +145,7 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(ex_per_s / baseline_cpu, 2),
         "samples": spread,
+        "extra_metrics": extras,
     }))
 
 

@@ -42,11 +42,12 @@ def main():
         dr, l2 = float(parts[0]), float(parts[1])
         lt = parts[2] if len(parts) > 2 else "bce"
         lr = float(parts[3]) if len(parts) > 3 else 0.001
-        name = f"dsin_d{dr}_l2{l2}_{lt}_lr{lr}"
+        bi = len(parts) > 4 and parts[4] == "bi"  # round-5 Bi-GRU evolution
+        name = f"dsin_d{dr}_l2{l2}_{lt}_lr{lr}" + ("_bi" if bi else "")
         print(f"=== {name} ===", flush=True)
         model = DSIN(data.num_users, data.num_items, 64,
                      sess_count=2, sess_len=4, dropout=dr, l2_emb=l2,
-                     loss_type=lt)
+                     loss_type=lt, bi_evolution=bi)
         cfg = TrainConfig(batch_size=512, epochs=args.epochs,
                           verbose=args.verbose)
         t0 = time.time()

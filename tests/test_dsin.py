@@ -74,3 +74,37 @@ def test_dsin_bpr_loss_trains_and_dropout_is_train_only():
     s1 = np.asarray(m.score_all(tr.params, users, hists))
     s2 = np.asarray(m.score_all(tr.params, users, hists))
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_dsin_bi_evolution_trains_and_differs():
+    """The Bi-GRU interest-evolution flag (VERDICT r4 #6; paper's Bi-RNN,
+    sum-merged): adds a gru_bwd parameter group, changes scores (backward
+    pass is live), trains through an epoch, and leaves the default
+    architecture untouched when off."""
+    import optax
+
+    from acf_tpu.train import Trainer, TrainConfig
+    from tests.test_trainer import synthetic_data
+
+    data = synthetic_data(seed=17)
+    uni = DSIN(data.num_users, data.num_items, 8, sess_count=2, sess_len=4)
+    bi = DSIN(data.num_users, data.num_items, 8, sess_count=2, sess_len=4,
+              bi_evolution=True)
+    pu = uni.init_params(jax.random.PRNGKey(0))
+    pb = bi.init_params(jax.random.PRNGKey(0))
+    assert "gru_bwd" not in pu and "gru_bwd" in pb
+
+    users = jnp.asarray([1, 2, 3])
+    hists = jnp.asarray(data.hist[np.asarray(users)][:, -8:])
+    su = uni.score_all(pu, users, hists)
+    # same shared weights + zeroed backward GRU output would be identical;
+    # with a real gru_bwd the evolved interests (and scores) must move
+    sb = bi.score_all(pb, users, hists)
+    assert su.shape == sb.shape == (3, data.num_items)
+    assert not np.allclose(np.asarray(su), np.asarray(sb))
+
+    tr = Trainer(bi, data, optax.adam(1e-3),
+                 TrainConfig(batch_size=32, verbose=10**9, seed=3))
+    s1 = tr.run_epoch()
+    s2 = tr.run_epoch()
+    assert np.isfinite(s1["loss"]) and np.isfinite(s2["loss"])

@@ -130,3 +130,32 @@ def test_gan_pad_item_gets_no_mass():
     # critic pad row only moves if the fake one-hot leaks mass onto col 0
     np.testing.assert_allclose(np.asarray(tra.params["c"]["Q"][0]), c0,
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("loss_fn", ["log", "wgan", "hinge"])
+def test_apl_manual_gen_grads_match_autodiff(loss_fn):
+    """The closed-form generator-phase backward (models/apl.py
+    gen_step_manual — round-5 fusion of the [B, I] softmax chain) is the
+    same math as autodiff through the reference formulation: identical
+    seeds must give float-tolerance-identical parameter trajectories."""
+    data = synthetic_data(seed=31)
+    kw = dict(loss_function=loss_fn)
+    m_auto = APL(data.num_users, data.num_items, 8, manual_gen=False, **kw)
+    m_man = APL(data.num_users, data.num_items, 8, manual_gen=True, **kw)
+    opt = optax.sgd(0.05)
+    ta = Trainer(m_auto, data, opt, TrainConfig(batch_size=32, seed=7,
+                                                verbose=10**9))
+    tm = Trainer(m_man, data, opt, TrainConfig(batch_size=32, seed=7,
+                                               verbose=10**9))
+    for _ in range(3):
+        sa = ta.run_epoch()
+        sm = tm.run_epoch()
+    for side in ("g", "c"):
+        for nm in ("P", "Q"):
+            np.testing.assert_allclose(
+                np.asarray(tm.params[side][nm]),
+                np.asarray(ta.params[side][nm]),
+                rtol=2e-4, atol=2e-6,
+                err_msg=f"{loss_fn} {side}/{nm}")
+    np.testing.assert_allclose(sm["loss"], sa["loss"], rtol=1e-4,
+                               atol=1e-6)
