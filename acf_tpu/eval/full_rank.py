@@ -200,23 +200,29 @@ class FullRankEvaluator:
 
     def _corrections(self):
         """[Up, C] per-user invalid-item array: unique train items ∪ {gt},
-        0-padded (0 is handled separately)."""
+        0-padded (0 is handled separately). Vectorized numpy — the obvious
+        per-user set loop is O(U·L) *python* work (seconds at 55k users,
+        minutes at the 1M-user scale the sparse step targets; VERDICT r4
+        weak #6)."""
         if self._corr_d is None:
             users_p = np.asarray(self._users_d)
-            gts = np.asarray(self._gt_d)
-            hist = self.data.hist
-            rows = []
-            for u, gt in zip(users_p, gts):
-                s = set(hist[u].tolist())
-                s.discard(0)
-                if gt:
-                    s.add(int(gt))
-                rows.append(np.fromiter(s, dtype=np.int32, count=len(s)))
-            width = max((len(r) for r in rows), default=1)
-            arr = np.zeros((len(rows), max(width, 1)), dtype=np.int32)
-            for i, r in enumerate(rows):
-                arr[i, :len(r)] = r
-            self._corr_d = jnp.asarray(arr)
+            gts = np.asarray(self._gt_d).astype(np.int32)
+            h = self.data.hist[users_p].astype(np.int32)
+            # append the gt as an extra column, zeroed where it already
+            # appears in the row (set semantics) or where there is no gt
+            gt_col = np.where((h == gts[:, None]).any(1) | (gts == 0),
+                              0, gts)[:, None]
+            h = np.concatenate([h, gt_col], axis=1)
+            # per-row unique: sort, keep first occurrences of nonzero runs
+            h.sort(axis=1)
+            first = np.ones_like(h, dtype=bool)
+            first[:, 1:] = h[:, 1:] != h[:, :-1]
+            first &= h != 0
+            # left-compact the unique entries (stable: uniques keep order)
+            order = np.argsort(~first, axis=1, kind="stable")
+            vals = np.take_along_axis(np.where(first, h, 0), order, axis=1)
+            width = int(first.sum(1).max()) if len(h) else 1
+            self._corr_d = jnp.asarray(vals[:, :max(width, 1)])
         return self._corr_d
 
     def _tiles(self):
