@@ -72,7 +72,18 @@ class APL(PairwiseModel):
     # closed-form generator-phase backward (see gen_step_manual): same
     # math as autodiff to float tolerance, ~1/3 the [B, I] buffer count.
     # False restores the reference-shaped autodiff formulation.
+    # MEASURED round 5 (out/r5/apl_manual_ab.log, same-session A/B at full
+    # Video scale): 0.99x — XLA already fuses the autodiff chain to the
+    # same HBM-bound program, refuting the residual-materialization
+    # hypothesis. Kept (equal speed, and it is the numerical reference for
+    # the Pallas path below).
     manual_gen: bool = True
+    # Pallas-fused generator chain (ops/apl_gen_fused.py): five streaming
+    # passes over item tiles — only one [B, I] buffer (the stored z) ever
+    # round-trips HBM vs ~6 + layout copies for the XLA paths. Same math,
+    # same jax.random noise stream as gen_step_manual
+    # (float-tolerance-tested). Opt-in until the TPU A/B verdict.
+    fused_gen: bool = False
 
     def init_params(self, key):
         ks = jax.random.split(key, 4)
@@ -272,6 +283,51 @@ class APL(PairwiseModel):
             g_l2 = (jnp.sum(jnp.square(pu_g)) + jnp.sum(jnp.square(Qg))) / 2
             return g_main + self.reg_g * g_l2, {"P": gP, "Q": gQ}
 
+        def gen_step_fused(g_params, c_params, users, items, hist_rows,
+                           key):
+            """gen_step_manual's math through the Pallas streaming kernels
+            (ops/apl_gen_fused.py): identical jax.random noise stream,
+            member/nuniq built the same way; the [B, I] chain never lands
+            in HBM except the stored z buffer."""
+            from acf_tpu.ops.apl_gen_fused import (
+                apl_gen_backward, apl_gen_forward,
+            )
+
+            w, T, eps = self.p_aux_weight, self.temperature, 1e-20
+            pu_g = g_params["P"][users]
+            Qg = g_params["Q"]
+            pu_c = c_params["P"][users]
+            Qc = c_params["Q"]
+            b = users.shape[0]
+            rows = jnp.arange(b)[:, None]
+            member = jnp.zeros((b, self.num_items), jnp.uint8).at[
+                rows, hist_rows].max((hist_rows != 0).astype(jnp.uint8))
+            nuniq = jnp.maximum(
+                member.astype(jnp.float32).sum(-1), 1.0)
+            un = jax.random.uniform(key, (b, self.num_items), minval=0.0,
+                                    maxval=1.0)
+            gn = -jnp.log(-jnp.log(un + eps) + eps)
+            interpret = jax.default_backend() == "cpu"
+
+            fake, res = apl_gen_forward(
+                pu_g, Qg, pu_c, Qc, member, nuniq, gn,
+                w=w, temperature=T, interpret=interpret)
+            real = jnp.sum(pu_c * Qc[items], -1)
+
+            def head(fake_):
+                gl, _ = self._losses(real, fake_, 0.0, 0.0)
+                return gl
+
+            g_main, a = jax.value_and_grad(head)(fake)
+            dP_rows, dQ = apl_gen_backward(
+                pu_g, pu_c, nuniq, a, res,
+                w=w, temperature=T, interpret=interpret)
+            gP = jnp.zeros_like(g_params["P"]).at[users].add(
+                dP_rows + self.reg_g * pu_g)
+            gQ = dQ[: self.num_items] + self.reg_g * Qg
+            g_l2 = (jnp.sum(jnp.square(pu_g)) + jnp.sum(jnp.square(Qg))) / 2
+            return g_main + self.reg_g * g_l2, {"P": gP, "Q": gQ}
+
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(carry, data, key):
             params, opt_state = carry
@@ -301,7 +357,10 @@ class APL(PairwiseModel):
                 idx, kk = xs
                 u, i = constrain(data["pairs_u"][idx], data["pairs_i"][idx])
                 hist_rows = data["hist"][u]
-                if self.manual_gen and mesh is None:
+                if getattr(self, "fused_gen", False) and mesh is None:
+                    gl, grads = gen_step_fused(
+                        g_params, c_new, u, i, hist_rows, kk)
+                elif self.manual_gen and mesh is None:
                     gl, grads = gen_step_manual(
                         g_params, c_new, u, i, hist_rows, kk)
                 else:

@@ -60,21 +60,27 @@ def main():
         return
 
     trs = {}
-    for name, manual in (("manual", True), ("autodiff", False)):
-        model = APL(data.num_users, data.num_items, 64, manual_gen=manual)
+    variants = (("manual", dict(manual_gen=True)),
+                ("autodiff", dict(manual_gen=False)),
+                ("fused", dict(fused_gen=True)))
+    for name, kw in variants:
+        model = APL(data.num_users, data.num_items, 64, **kw)
         trs[name] = Trainer(model, data, optax.sgd(0.05),
                             TrainConfig(batch_size=512, verbose=10 ** 9,
                                         seed=2019))
         trs[name].run_epoch()  # compile
 
     out = {}
-    for name in ("manual", "autodiff", "manual", "autodiff"):
+    for name in ("manual", "autodiff", "fused", "manual", "autodiff",
+                 "fused"):
         out.setdefault(name, []).append(
             round(timed_epochs(trs[name], args.epochs), 3))
     print(json.dumps({
-        "manual_s_per_epoch": out["manual"],
-        "autodiff_s_per_epoch": out["autodiff"],
-        "speedup": round(min(out["autodiff"]) / min(out["manual"]), 3),
+        **{f"{k}_s_per_epoch": v for k, v in out.items()},
+        "fused_vs_autodiff_x": round(min(out["autodiff"])
+                                     / min(out["fused"]), 3),
+        "manual_vs_autodiff_x": round(min(out["autodiff"])
+                                      / min(out["manual"]), 3),
         "steps_per_epoch": trs["manual"].num_batches,
     }))
 

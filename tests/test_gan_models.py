@@ -159,3 +159,31 @@ def test_apl_manual_gen_grads_match_autodiff(loss_fn):
                 err_msg=f"{loss_fn} {side}/{nm}")
     np.testing.assert_allclose(sm["loss"], sa["loss"], rtol=1e-4,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_fn", ["log", "hinge"])
+def test_apl_fused_gen_matches_manual(loss_fn):
+    """The Pallas streaming generator chain (ops/apl_gen_fused.py,
+    interpret mode on CPU) draws the SAME jax.random noise as
+    gen_step_manual, so epoch trajectories must agree to float tolerance."""
+    data = synthetic_data(seed=33)
+    kw = dict(loss_function=loss_fn)
+    m_man = APL(data.num_users, data.num_items, 8, manual_gen=True, **kw)
+    m_fus = APL(data.num_users, data.num_items, 8, fused_gen=True, **kw)
+    opt = optax.sgd(0.05)
+    tm = Trainer(m_man, data, opt, TrainConfig(batch_size=32, seed=11,
+                                               verbose=10**9))
+    tf_ = Trainer(m_fus, data, opt, TrainConfig(batch_size=32, seed=11,
+                                                verbose=10**9))
+    for _ in range(2):
+        sm = tm.run_epoch()
+        sf = tf_.run_epoch()
+    for side in ("g", "c"):
+        for nm in ("P", "Q"):
+            np.testing.assert_allclose(
+                np.asarray(tf_.params[side][nm]),
+                np.asarray(tm.params[side][nm]),
+                rtol=2e-4, atol=2e-6,
+                err_msg=f"{loss_fn} {side}/{nm}")
+    np.testing.assert_allclose(sf["loss"], sm["loss"], rtol=1e-4,
+                               atol=1e-6)
