@@ -215,6 +215,29 @@ def worker(process_id: int, port: int) -> None:
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-6)
     report["sharded_serve"] = "ok"
 
+    # ---- 6. Trainer-integrated mesh training (the user-reachable path) -
+    import optax as _optax
+
+    from acf_tpu.train import TrainConfig, Trainer
+
+    tmodel = MFBPR(data.num_users, data.num_items, 8, adversarial=True,
+                   eps=0.5, reg_adv=1.0)
+    opt = _optax.adagrad(0.05, initial_accumulator_value=0.1)
+    t_ref = Trainer(tmodel, data, opt,
+                    TrainConfig(batch_size=32, seed=13, verbose=10 ** 9))
+    t_mesh = Trainer(tmodel, data, opt,
+                     TrainConfig(batch_size=32, seed=13, verbose=10 ** 9,
+                                 mesh=mesh, shard_min_rows=2))
+    for _ in range(2):
+        s_ref = t_ref.run_epoch()
+        s_mesh = t_mesh.run_epoch()
+    np.testing.assert_allclose(float(s_mesh["loss"]), float(s_ref["loss"]),
+                               rtol=1e-4)
+    pm = gather(t_mesh.params["Q"])
+    np.testing.assert_allclose(pm, np.asarray(t_ref.params["Q"]),
+                               rtol=1e-3, atol=1e-5)
+    report["trainer_mesh_fit_loss"] = float(s_mesh["loss"])
+
     print(f"WORKER {process_id} OK {json.dumps(report)}", flush=True)
 
 
