@@ -300,8 +300,11 @@ class APL(PairwiseModel):
             Qc = c_params["Q"]
             b = users.shape[0]
             rows = jnp.arange(b)[:, None]
-            member = jnp.zeros((b, self.num_items), jnp.uint8).at[
-                rows, hist_rows].max((hist_rows != 0).astype(jnp.uint8))
+            # bfloat16: 0/1 exact, half the f32 HBM traffic — and Mosaic
+            # has no uint8->f32 cast (first TPU compile of the kernel
+            # failed on exactly that)
+            member = jnp.zeros((b, self.num_items), jnp.bfloat16).at[
+                rows, hist_rows].max((hist_rows != 0).astype(jnp.bfloat16))
             nuniq = jnp.maximum(
                 member.astype(jnp.float32).sum(-1), 1.0)
             un = jax.random.uniform(key, (b, self.num_items), minval=0.0,

@@ -201,7 +201,7 @@ def apl_gen_forward(pu_g, Qg, pu_c, Qc, member, nuniq, gnoise,
     Args:
       pu_g/pu_c: [B, d] gathered generator/critic user rows.
       Qg/Qc: [I, d] generator/critic item tables.
-      member: [B, I] uint8 — 1 where the item is one of the user's unique
+      member: [B, I] bfloat16 — 1 where the item is one of the user's unique
         positives (p_aux support; pad col 0 must be 0).
       nuniq: [B] float32 — per-user unique-positive count (>= 1).
       gnoise: [B, I] float32 — the GUMBEL noise, drawn by the caller with
