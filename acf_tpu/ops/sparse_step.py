@@ -44,8 +44,8 @@ v5e's 16 GB HBM just for MF state). Per step, each device
 The batch itself is replicated over the mesh (the row-space math is
 O(B·d), negligible next to the table-scaling goal), so the scaling axis
 for this step is "model": use ``--mesh 1xN``. Trajectories are
-bit-compatible with the single-device sparse step (tests/test_sparse_step
-.py::test_sparse_mesh_matches_single_device).
+bit-compatible with the single-device sparse step
+(tests/test_parallel.py::test_sparse_step_mesh_matches_single_device).
 """
 
 from __future__ import annotations

@@ -69,11 +69,36 @@ def process_local_rows(global_data: np.ndarray, count: int, index: int,
     n = global_data.shape[0]
     start, per, pad = process_rows(n, count, index, axis_size)
     if pad:
-        global_data = np.concatenate([global_data, global_data[:pad]],
-                                     axis=0)
+        # wrap indices modulo n: pad can EXCEED n for small arrays on wide
+        # meshes (n=2 rows over an 8-device axis needs 6 pad rows — a
+        # plain global_data[:pad] would under-fill and corrupt the shard
+        # shapes; round-5 review finding)
+        wrap = np.take(global_data, np.arange(pad) % max(n, 1), axis=0)
+        global_data = np.concatenate([global_data, wrap], axis=0)
     return global_data[start:start + per], n + pad
 
 
 def replicate(mesh: Mesh, data: np.ndarray):
     """Fully-replicated placement (eval candidate arrays etc.)."""
     return jax.device_put(jnp.asarray(data), NamedSharding(mesh, P()))
+
+
+_REPLICATE_JIT_CACHE: dict = {}
+
+
+def replicate_result(mesh: Mesh, *xs):
+    """Reshard computed (possibly non-addressable) arrays to fully
+    replicated so every process can read them as numpy. Unlike
+    ``replicate`` (a device_put for host data), this runs a jitted
+    identity — the only way to reshard across processes — and CACHES it
+    per (mesh, arity): a fresh ``jax.jit(lambda ...)`` per call would
+    recompile the replication program on every serving/eval request
+    (round-5 review finding)."""
+    key = (mesh, len(xs))
+    fn = _REPLICATE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda *ys: ys,
+                     out_shardings=NamedSharding(mesh, P()))
+        _REPLICATE_JIT_CACHE[key] = fn
+    out = fn(*xs)
+    return out if len(xs) != 1 else out[0]

@@ -232,8 +232,9 @@ def sharded_recommend_for_model(mesh: Mesh, model, params, users, hists,
         # across processes — replicate so every host can read the full
         # response (first caught by the real 2-process run in
         # scripts/multiprocess_smoke.py: np.asarray on a non-addressable
-        # global array raises).
-        rep = jax.jit(lambda s, i: (s, i),
-                      out_shardings=NamedSharding(mesh, P()))
-        scores, ids = rep(scores, ids)
+        # global array raises). replicate_result caches the jitted
+        # reshard per mesh so repeated serve calls don't recompile.
+        from acf_tpu.parallel.input_pipeline import replicate_result
+
+        scores, ids = replicate_result(mesh, scores, ids)
     return scores, ids

@@ -7,17 +7,20 @@ headline numbers — ASASRec train throughput at the Video maxlen-8 protocol
 shape, the full-catalog 31k x 23.7k evaluator, and bulk top-10 serving —
 each best-of-3 with the per-sample spread recorded (the axon tunnel adds
 run-to-run jitter; docs/PARITY.md "Bench guard" documents the expected
-bands). A regression anywhere in the headline story now shows in
+bands). "context_r4" fields are round-4 reference points for orientation
+ONLY — per the bench guard, cross-day wall clocks are NOT comparable
+(dispatch latency drifts ~10x between rounds); regression verdicts
+require same-session interleaved A/B. A regression anywhere in the headline story now shows in
 BENCH_r*.json, not only in ad-hoc scripts.
 
-Baseline: the reference's APR epoch on single-core CPU — ~994k pairs in
+Baseline (vs_baseline): the reference's APR epoch on single-core CPU — ~994k pairs in
 ~3.7 s train time on ml-1m (BASELINE.md "ml-1m APR" row) ≈ 268k examples/s,
 with its ~13.9 s/epoch batch generation excluded to be maximally generous to
 the reference. Here sampling + FGSM + optimizer update all run on device and
 are *included* in the measured time, on a synthetic dataset with ml-1m's
 exact shape (throughput is shape-determined; ml-1m's raw data is not
 fetchable in this environment — quality parity is measured on Video, see
-docs/PARITY.md). Sub-metric reference points ("vs_r4") are round-4's
+docs/PARITY.md). Sub-metric context points ("context_r4") are round-4's
 measured values on this same harness: ASASRec 787k ex/s, eval 0.28 s,
 serving 28.7k users/s.
 """
@@ -107,7 +110,7 @@ def bench_flagship_extras():
     # 10-epoch blocks: a maxlen-8 seq epoch is only ~60 steps, so smaller
     # blocks are dominated by the ~30 ms axon dispatch round-trip (the
     # first widened-bench run measured 494k ex/s on 2-epoch blocks purely
-    # from that fixed cost). vs_r4 reference 787k is the step-only
+    # from that fixed cost). context_r4 787k is the step-only
     # seq_step_decompose figure — epoch-level throughput includes
     # sampling + scan overheads and sits naturally below it.
     tr.run_epochs(10)
@@ -115,7 +118,7 @@ def bench_flagship_extras():
     ex = 10 * tr.num_batches * 512
     extras["asasrec_train_examples_per_sec"] = {
         "value": round(ex / min(times), 1),
-        "samples": [round(ex / t, 1) for t in times], "vs_r4": 787_000}
+        "samples": [round(ex / t, 1) for t in times], "context_r4": 787_000}
 
     # -- full-catalog eval seconds (31k users x 23.7k items) -------------
     mf = MFBPR(data.num_users, data.num_items, 64)
@@ -126,7 +129,7 @@ def bench_flagship_extras():
              for _ in range(3)]
     extras["full_catalog_eval_seconds"] = {
         "value": round(min(times), 3),
-        "samples": [round(t, 3) for t in times], "vs_r4": 0.28}
+        "samples": [round(t, 3) for t in times], "context_r4": 0.28}
 
     # -- bulk serving users/s (top-10 over the whole user base) ----------
     users = np.arange(1, data.num_users, dtype=np.int32)
@@ -136,7 +139,7 @@ def bench_flagship_extras():
     extras["bulk_serve_users_per_sec"] = {
         "value": round(len(users) / min(times)),
         "samples": [round(len(users) / t) for t in times],
-        "vs_r4": 28_700}
+        "context_r4": 28_700}
     return extras
 
 

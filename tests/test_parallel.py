@@ -400,6 +400,15 @@ def test_process_local_rows_multihost_math():
     np.testing.assert_array_equal(np.concatenate(locs), y)
     assert process_rows(8, 2, 1) == (4, 4, 0)
 
+    # pad > n (round-5 review finding): 2 rows over 2 processes with an
+    # 8-device data axis pads to 8 — wrap indices must cycle modulo n
+    z = np.array([[1, 2], [3, 4]], dtype=np.int32)
+    parts = [process_local_rows(z, 2, i, axis_size=8) for i in range(2)]
+    assert all(p_.shape == (4, 2) for p_, _ in parts)
+    assert {pn for _, pn in parts} == {8}
+    got = np.concatenate([p_ for p_, _ in parts], axis=0)
+    np.testing.assert_array_equal(got, np.tile(z, (4, 1)))
+
 
 def test_host_sharded_array_multiprocess_branch(mesh, monkeypatch):
     """Drive host_sharded_array's process_count()>1 branch itself (mocked
