@@ -53,8 +53,11 @@ NEG = -1e30
 
 
 def _masked_logits(pu_ref, qg_ref, j, item_tile, num_items):
-    logits = jnp.dot(pu_ref[:], qg_ref[:].T,
-                     preferred_element_type=jnp.float32)  # [B, T]
+    # dot_general with explicit contracting dims — no .T materialization
+    # for Mosaic to lower
+    logits = jax.lax.dot_general(
+        pu_ref[:], qg_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [B, T]
     col = j * item_tile + jax.lax.broadcasted_iota(
         jnp.int32, logits.shape, dimension=1)
     # pad item col 0 AND the ragged tail tile: no probability mass
@@ -112,8 +115,9 @@ def _fake_kernel(puc_ref, qc_ref, z_ref, m2_ref, l2_ref, fake_ref):
     def _():
         fake_ref[:] = jnp.zeros_like(fake_ref)
 
-    c = jnp.dot(puc_ref[:], qc_ref[:].T,
-                preferred_element_type=jnp.float32)
+    c = jax.lax.dot_general(
+        puc_ref[:], qc_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     s = jnp.exp(z_ref[:] - m2_ref[:]) / l2_ref[:]
     fake_ref[:] += jnp.sum(s * c, axis=1, keepdims=True)
 
@@ -125,8 +129,9 @@ def _r_tile(pu_ref, qg_ref, puc_ref, qc_ref, member_ref, nuniq_ref, z_ref,
     probs = jnp.exp(logits - m1_ref[:]) / l1_ref[:]
     mixed = (1.0 - w) * probs + w * member_ref[:].astype(
         jnp.float32) / nuniq_ref[:]
-    c = jnp.dot(puc_ref[:], qc_ref[:].T,
-                preferred_element_type=jnp.float32)
+    c = jax.lax.dot_general(
+        puc_ref[:], qc_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     s = jnp.exp(z_ref[:] - m2_ref[:]) / l2_ref[:]
     t = a_ref[:] * (c - fake_ref[:])
     r = ((1.0 - w) / temperature) * s * t / (mixed + EPS)
@@ -164,8 +169,9 @@ def _grad_kernel(pu_ref, qg_ref, puc_ref, qc_ref, member_ref, nuniq_ref,
                        a_ref, fake_ref, j, item_tile, num_items, w,
                        temperature)
     dlogits = probs * (r - bigr_ref[:])                       # [B, T]
-    dq_ref[:] = jnp.dot(dlogits.T, pu_ref[:],
-                        preferred_element_type=jnp.float32)   # [T, d]
+    dq_ref[:] = jax.lax.dot_general(                          # [T, d]
+        dlogits, pu_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp_ref[:] += jnp.dot(dlogits, qg_ref[:],
                          preferred_element_type=jnp.float32)  # [B, d]
 
