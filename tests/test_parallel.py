@@ -691,3 +691,20 @@ def test_mesh_from_spec_validation_and_fallback_guard(monkeypatch, capsys):
         _jax_backend.clear_backends()
         jax.config.update("jax_num_cpu_devices", 8)
         assert len(jax.devices()) == 8
+
+
+def test_replicate_result_caches_jit(mesh):
+    """The cross-process reshard helper must reuse its jitted identity per
+    (mesh, arity) — a fresh jit per call recompiled the replication
+    program on every serve/eval request (round-5 review finding)."""
+    from acf_tpu.parallel import input_pipeline as ip
+
+    x = jnp.arange(8.0)
+    y = ip.replicate_result(mesh, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    fn1 = ip._REPLICATE_JIT_CACHE[(mesh, 1)]
+    a, b = ip.replicate_result(mesh, x, x + 1)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(x) + 1)
+    assert ip._REPLICATE_JIT_CACHE[(mesh, 1)] is fn1  # arity-1 entry reused
+    ip.replicate_result(mesh, x)
+    assert ip._REPLICATE_JIT_CACHE[(mesh, 1)] is fn1
