@@ -82,7 +82,16 @@ class APL(PairwiseModel):
     # passes over item tiles — only one [B, I] buffer (the stored z) ever
     # round-trips HBM vs ~6 + layout copies for the XLA paths. Same math,
     # same jax.random noise stream as gen_step_manual
-    # (float-tolerance-tested). Opt-in until the TPU A/B verdict.
+    # (float-tolerance-tested).
+    # MEASURED round 5 (out/r5/apl_threeway_ab2.log, same-session
+    # three-way A/B at full Video scale, 500 steps/epoch): fused 3.07 s
+    # vs autodiff 2.94 s per epoch = 0.96× — REJECTED as the default,
+    # same standard as the SASRec fused kernels. The five sequential
+    # pallas_calls re-stream the tables and redo ~9 tile matmuls; XLA's
+    # fused chain overlaps its [B, I] traffic better than the traffic
+    # the kernels save. Kept opt-in (the design is the right shape for a
+    # future single-kernel pipeline, and it is a second independent
+    # implementation of the chain used by the equivalence tests).
     fused_gen: bool = False
 
     def init_params(self, key):
