@@ -64,6 +64,18 @@ def build_parser():
     p.add_argument("--eps_pos", type=float, default=0.0)
     p.add_argument("--eps_dense", type=float, default=0.0)
     p.add_argument("--eps_conv", type=float, default=0.0)
+    p.add_argument("--eps_stage2", type=float, default=0.0,
+                   help="staged-epsilon schedule for two-phase adversarial "
+                        "models: enter the adversarial phase at --eps, "
+                        "then raise eps to THIS value at --stage2_epoch. "
+                        "Round-5 finding: fixed eps=0.8 lifts ASASRec to "
+                        "~0.104 HR but bifurcates per seed; the staged "
+                        "schedule (0.5 -> 0.8 at epoch 1100) reaches the "
+                        "strong optimum reliably (docs/PARITY.md)")
+    p.add_argument("--stage2_epoch", type=int, default=0,
+                   help="epoch at which --eps_stage2 takes over "
+                        "(required with --eps_stage2; must satisfy "
+                        "adv_epoch < stage2_epoch < epochs)")
     p.add_argument("--adv", type=str, default="grad", choices=["grad", "random"])
     p.add_argument("--adv_steps", type=int, default=1,
                    help="PGD-style multi-step perturbation for apr (1 = the "
@@ -352,7 +364,30 @@ def main(argv=None):
 
 
 def _run(args, data, model, clean, optimizer, cfg, writer, restore):
-    if clean is not None:
+    if clean is not None and args.eps_stage2 > 0.0:
+        # staged-epsilon three-phase protocol (round 5):
+        # clean 0..adv_epoch -> eps adv_epoch..stage2_epoch -> eps_stage2
+        import dataclasses as _dc
+
+        if restore:
+            raise SystemExit("--eps_stage2 does not support --restore")
+        if not (args.adv_epoch < args.stage2_epoch < cfg.epochs):
+            raise SystemExit(
+                "--eps_stage2 requires --adv_epoch < --stage2_epoch < "
+                f"--epochs (got {args.adv_epoch} / {args.stage2_epoch} / "
+                f"{cfg.epochs})")
+        adv_hi = _dc.replace(model, eps=args.eps_stage2)
+        reset_opt = args.model not in ("asasrec", "asasrec2")
+        tr = Trainer(clean, data, optimizer, cfg, writer)
+        if args.pre:
+            tr.load_pretrain(args.pre)
+        tr.fit(epochs=args.adv_epoch, final=False)
+        tr.switch_model(model, reset_opt=reset_opt)
+        tr.fit(epochs=args.stage2_epoch, epoch_start=args.adv_epoch,
+               final=False)
+        tr.switch_model(adv_hi, reset_opt=False)
+        best = tr.fit(epochs=cfg.epochs, epoch_start=args.stage2_epoch)
+    elif clean is not None:
         # asasrec carries Adam slots into phase 2 (full-variable Saver,
         # utils.py:306-315); apr resets them (embeddings-only Saver,
         # evaluation_adv.py:235)

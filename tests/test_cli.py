@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from acf_tpu.cli.main import main
 
@@ -202,3 +203,20 @@ def test_cli_mesh_bespoke_epoch_model(tmp_path):
     best = main(ARGS + ["--model", "abpr", "--mesh", "4x2",
                         "--opath", str(tmp_path) + "/"])
     assert np.isfinite(best["ndcg"])
+
+
+def test_cli_staged_eps_three_phase(tmp_path):
+    """--eps_stage2 (round-5 staged-epsilon schedule): three-phase
+    asasrec run completes, validates its epoch ordering, and rejects
+    --restore."""
+    best = main(ARGS + ["--model", "asasrec", "--epochs", "6",
+                        "--adv_epoch", "2", "--eps", "0.5",
+                        "--eps_stage2", "0.8", "--stage2_epoch", "4",
+                        "--maxlen", "6", "--verbose", "2",
+                        "--opath", str(tmp_path) + "/"])
+    assert best["epoch"] >= 0
+    with pytest.raises(SystemExit, match="stage2_epoch"):
+        main(ARGS + ["--model", "asasrec", "--epochs", "6",
+                     "--adv_epoch", "4", "--eps_stage2", "0.8",
+                     "--stage2_epoch", "2",
+                     "--opath", str(tmp_path) + "/"])
