@@ -364,10 +364,18 @@ def main(argv=None):
 
 
 def _run(args, data, model, clean, optimizer, cfg, writer, restore):
+    if args.eps_stage2 > 0.0 and clean is None:
+        # same failure class as the --lr sentinel fix: a schedule flag
+        # that silently does nothing mislabels a multi-hour run
+        raise SystemExit(
+            f"--eps_stage2 only applies to two-phase adversarial models "
+            f"(apr/asasrec/asasrec2), not --model {args.model}")
     if clean is not None and args.eps_stage2 > 0.0:
         # staged-epsilon three-phase protocol (round 5):
         # clean 0..adv_epoch -> eps adv_epoch..stage2_epoch -> eps_stage2
         import dataclasses as _dc
+
+        from acf_tpu.train.checkpoint import save_params
 
         if restore:
             raise SystemExit("--eps_stage2 does not support --restore")
@@ -382,11 +390,15 @@ def _run(args, data, model, clean, optimizer, cfg, writer, restore):
         if args.pre:
             tr.load_pretrain(args.pre)
         tr.fit(epochs=args.adv_epoch, final=False)
+        if cfg.ckpt_path:  # mirror fit_two_phase's phase-boundary saves
+            save_params(cfg.ckpt_path + "-pretrain", tr.params)
         tr.switch_model(model, reset_opt=reset_opt)
         tr.fit(epochs=args.stage2_epoch, epoch_start=args.adv_epoch,
                final=False)
         tr.switch_model(adv_hi, reset_opt=False)
         best = tr.fit(epochs=cfg.epochs, epoch_start=args.stage2_epoch)
+        if cfg.ckpt_path:
+            save_params(cfg.ckpt_path + "-final", tr.params)
     elif clean is not None:
         # asasrec carries Adam slots into phase 2 (full-variable Saver,
         # utils.py:306-315); apr resets them (embeddings-only Saver,

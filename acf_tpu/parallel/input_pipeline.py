@@ -69,11 +69,11 @@ def process_local_rows(global_data: np.ndarray, count: int, index: int,
     n = global_data.shape[0]
     start, per, pad = process_rows(n, count, index, axis_size)
     if pad:
-        # wrap indices modulo n: pad can EXCEED n for small arrays on wide
+        # cyclic wrap rows: pad can EXCEED n for small arrays on wide
         # meshes (n=2 rows over an 8-device axis needs 6 pad rows — a
         # plain global_data[:pad] would under-fill and corrupt the shard
-        # shapes; round-5 review finding)
-        wrap = np.take(global_data, np.arange(pad) % max(n, 1), axis=0)
+        # shapes; round-5 review finding). np.resize repeats cyclically.
+        wrap = np.resize(global_data, (pad,) + global_data.shape[1:])
         global_data = np.concatenate([global_data, wrap], axis=0)
     return global_data[start:start + per], n + pad
 
@@ -84,6 +84,8 @@ def replicate(mesh: Mesh, data: np.ndarray):
 
 
 _REPLICATE_JIT_CACHE: dict = {}
+_REPLICATE_CACHE_CAP = 16  # FIFO-bounded: mesh churn (tests, notebooks)
+# must not pin meshes + compiled executables for the process lifetime
 
 
 def replicate_result(mesh: Mesh, *xs):
@@ -97,6 +99,8 @@ def replicate_result(mesh: Mesh, *xs):
     key = (mesh, len(xs))
     fn = _REPLICATE_JIT_CACHE.get(key)
     if fn is None:
+        if len(_REPLICATE_JIT_CACHE) >= _REPLICATE_CACHE_CAP:
+            _REPLICATE_JIT_CACHE.pop(next(iter(_REPLICATE_JIT_CACHE)))
         fn = jax.jit(lambda *ys: ys,
                      out_shardings=NamedSharding(mesh, P()))
         _REPLICATE_JIT_CACHE[key] = fn

@@ -220,3 +220,12 @@ def test_cli_staged_eps_three_phase(tmp_path):
                      "--adv_epoch", "4", "--eps_stage2", "0.8",
                      "--stage2_epoch", "2",
                      "--opath", str(tmp_path) + "/"])
+
+
+def test_cli_staged_eps_rejects_single_phase_models(tmp_path):
+    """--eps_stage2 on a model without two-phase staging must refuse, not
+    silently train a clean model (same failure class as the --lr
+    sentinel; round-5 review finding)."""
+    with pytest.raises(SystemExit, match="two-phase"):
+        main(ARGS + ["--model", "sasrec", "--eps_stage2", "0.8",
+                     "--stage2_epoch", "1", "--opath", str(tmp_path) + "/"])
